@@ -1,15 +1,18 @@
 """Batched prime-field arithmetic on device (JAX), in Montgomery form.
 
 This is the TPU compute layer the reference delegates to arkworks for
-(vendored ark-ff bigint arithmetic, enabled multicore via rayon —
+(vendored ark-ff bigint arithmetic, multicore via rayon —
 zokrates_ark/Cargo.toml:6-17). Instead of 64-bit scalar limbs + carry chains,
 we use a vector-friendly design:
 
   * base-2^16 limbs held in uint32 lanes (products fit exactly, columns
     accumulate lazily without per-step carries),
-  * CIOS Montgomery multiplication with the carry propagation deferred to a
-    single final normalization pass,
-  * everything batched over a leading axis so the VPU sees wide elementwise
+  * CIOS Montgomery multiplication with deferred carries,
+  * carry/borrow propagation as `lax.scan`s over the limb axis — tiny
+    XLA graphs, which matters enormously: EC formulas instantiate these
+    primitives dozens of times inside loop bodies, and unrolled carry
+    chains made a single Pippenger kernel minutes-slow to compile,
+  * everything batched over leading axes so the VPU sees wide elementwise
     work; the MSM/NTT kernels build on these ops.
 
 All ops are pure functions of uint32 arrays -> jittable, shardable with
@@ -30,6 +33,7 @@ from .limbs import LIMB_BITS, LIMB_MASK, int_to_limbs, ints_to_limbs, limbs_to_i
 
 _U32 = jnp.uint32
 _MASK = np.uint32(LIMB_MASK)
+_B = np.uint32(1 << LIMB_BITS)
 
 
 @dataclass(frozen=True)
@@ -76,74 +80,39 @@ def field_spec(p: int) -> FieldSpec:
 
 
 # ---------------------------------------------------------------------------
-# Normalization helpers
+# Limb-axis scan helpers (each compiles to a single small While loop)
 # ---------------------------------------------------------------------------
 
 
-def _carry_sweep(t: jnp.ndarray, rounds: int = 1) -> jnp.ndarray:
-    """Propagate carries so every limb is < 2^16.
+def _carry_sweep(t: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Propagate carries so every limb is < 2^16. t: (..., nl) uint32 with
+    column values possibly up to 2^32. Returns (normalized, carry_out)."""
+    tw = jnp.moveaxis(t, -1, 0)
 
-    One sweep moves each limb's high bits one position up; after a sweep the
-    limbs are < 2^16 + (carry bits), and since input columns are < 2^32 a
-    single full sequential sweep suffices. t: (..., nl) uint32, interpreted
-    with the final limb allowed to keep overflow (caller manages width).
-    """
-    nl = t.shape[-1]
-    out = [t[..., i] for i in range(nl)]
-    carry = jnp.zeros_like(out[0])
-    for i in range(nl):
-        s = out[i] + carry
-        out[i] = s & _MASK
-        carry = s >> LIMB_BITS
-    return jnp.stack(out, axis=-1), carry
+    def body(carry, col):
+        s = col + carry
+        return s >> LIMB_BITS, s & _MASK
+
+    carry0 = jnp.zeros(t.shape[:-1], dtype=_U32)
+    carry, cols = jax.lax.scan(body, carry0, tw)
+    return jnp.moveaxis(cols, 0, -1), carry
 
 
-def _ge(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Lexicographic >= on limb vectors (most-significant decides)."""
-    nl = a.shape[-1]
-    ge = jnp.ones(a.shape[:-1], dtype=bool)
-    # scan from least significant: ge = (a_i > b_i) | (a_i == b_i) & ge
-    for i in range(nl):
-        ai, bi = a[..., i], b[..., i]
-        ge = jnp.where(ai == bi, ge, ai > bi)
-    return ge
+def _borrow_sub(a: jnp.ndarray, b: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(a - b) limbwise with borrow chain; limbs of a may be >= 2^16 only in
+    the topmost position is NOT allowed — inputs must be normalized.
+    Returns (diff mod B^nl, borrow_out in {0,1})."""
+    aw = jnp.moveaxis(a, -1, 0)
+    bw = jnp.moveaxis(b, -1, 0)
 
+    def body(borrow, ab):
+        ai, bi = ab
+        d = (ai + _B) - bi - borrow
+        return jnp.where(d >> LIMB_BITS == 0, np.uint32(1), np.uint32(0)), d & _MASK
 
-def _sub_limbs(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """a - b on limb vectors, assuming a >= b. Borrow-propagating."""
-    nl = a.shape[-1]
-    out = []
-    borrow = jnp.zeros(a.shape[:-1], dtype=_U32)
-    for i in range(nl):
-        # work in uint32 with an offset to avoid underflow
-        d = (a[..., i] + (np.uint32(1) << LIMB_BITS)) - b[..., i] - borrow
-        out.append(d & _MASK)
-        borrow = jnp.where(d >> LIMB_BITS == 0, np.uint32(1), np.uint32(0))
-    return jnp.stack(out, axis=-1)
-
-
-def _add_limbs(a: jnp.ndarray, b: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    s = a + b  # limbs < 2^16 so no overflow in uint32
-    return _carry_sweep(s)
-
-
-def _cond_sub_p(t: jnp.ndarray, p_limbs: jnp.ndarray, extra: jnp.ndarray) -> jnp.ndarray:
-    """Reduce t (< 2p, with `extra` as the 2^(16*nl) overflow bit) into [0,p)."""
-    need = jnp.logical_or(extra > 0, _ge(t, p_limbs))
-    reduced = _sub_limbs_with_hi(t, extra, p_limbs)
-    return jnp.where(need[..., None], reduced, t)
-
-
-def _sub_limbs_with_hi(a: jnp.ndarray, a_hi: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """(a_hi*B^nl + a) - b, result assumed < B^nl."""
-    nl = a.shape[-1]
-    out = []
-    borrow = jnp.zeros(a.shape[:-1], dtype=_U32)
-    for i in range(nl):
-        d = (a[..., i] + (np.uint32(1) << LIMB_BITS)) - b[..., i] - borrow
-        out.append(d & _MASK)
-        borrow = jnp.where(d >> LIMB_BITS == 0, np.uint32(1), np.uint32(0))
-    return jnp.stack(out, axis=-1)
+    borrow0 = jnp.zeros(a.shape[:-1], dtype=_U32)
+    borrow, cols = jax.lax.scan(body, borrow0, (aw, bw))
+    return jnp.moveaxis(cols, 0, -1), borrow
 
 
 # ---------------------------------------------------------------------------
@@ -158,41 +127,31 @@ def make_ops(p: int):
     n0inv = np.uint32(spec.n0inv)
     p_l = jnp.asarray(spec.p_limbs)
 
+    def _cond_sub_p(t, hi):
+        """Reduce t + hi*B^nl (< 2p) into [0, p)."""
+        d, borrow = _borrow_sub(t, jnp.broadcast_to(p_l, t.shape))
+        use_d = jnp.logical_or(hi > 0, borrow == 0)
+        return jnp.where(use_d[..., None], d, t)
+
     def add(a, b):
-        s, carry = _add_limbs(a, b)
-        return _cond_sub_p(s, p_l, carry)
-
-    def sub(a, b):
-        # a - b mod p: add p first to avoid underflow, then normalize
-        s, carry = _add_limbs(a, jnp.broadcast_to(p_l, a.shape))
-        # s = a + p (carry possible), then subtract b
-        t = _sub_limbs_with_hi_carry(s, carry, b)
-        t_limbs, t_hi = t
-        return _cond_sub_p(t_limbs, p_l, t_hi)
-
-    def _sub_limbs_with_hi_carry(s_pair_limbs, s_hi, b):
-        out = []
-        borrow = jnp.zeros(s_pair_limbs.shape[:-1], dtype=_U32)
-        for i in range(nl):
-            d = (s_pair_limbs[..., i] + (np.uint32(1) << LIMB_BITS)) - b[..., i] - borrow
-            out.append(d & _MASK)
-            borrow = jnp.where(d >> LIMB_BITS == 0, np.uint32(1), np.uint32(0))
-        hi = s_hi - borrow  # s_hi in {0,1}; a+p >= b always, so no net underflow
-        return jnp.stack(out, axis=-1), hi
+        a, b = jnp.broadcast_arrays(a, b)
+        s, carry = _carry_sweep(a + b)
+        return _cond_sub_p(s, carry)
 
     def neg(a):
-        # p - a, with -0 = 0
-        is_zero = jnp.all(a == 0, axis=-1)
-        r = _sub_limbs(jnp.broadcast_to(p_l, a.shape), a)
-        return jnp.where(is_zero[..., None], a, r)
+        d, _ = _borrow_sub(jnp.broadcast_to(p_l, a.shape), a)
+        is_zero_ = jnp.all(a == 0, axis=-1)
+        return jnp.where(is_zero_[..., None], a, d)
+
+    def sub(a, b):
+        return add(a, neg(b))
 
     def mul(a, b):
         """CIOS Montgomery product with lazy carries.
 
         Scans over the nl words of `a`; the inner loops are vectorized over
-        the limb axis so the trace is O(1) in nl (compile time matters: the
-        fully unrolled form takes XLA minutes to compile). Column invariant:
-        each uint32 column accumulates at most ~4*nl 16-bit terms plus round
+        the limb axis so the trace is O(1) in nl. Column invariant: each
+        uint32 column accumulates at most ~4*nl 16-bit terms plus round
         carries => < 2^24 for nl<=48, far below 2^32.
         """
         a, b = jnp.broadcast_arrays(a, b)
@@ -220,18 +179,13 @@ def make_ops(p: int):
         t, _ = jax.lax.scan(body, t0, a_words)
         res, hi = _carry_sweep(t[..., :nl])
         hi = hi + t[..., nl]
-        return _cond_sub_p(res, p_l, hi)
+        return _cond_sub_p(res, hi)
 
     def square(a):
         return mul(a, a)
 
     def pow_const(a, e: int):
-        """a^e for host-known integer e.
-
-        Left-to-right binary ladder driven by `lax.scan` over the exponent's
-        bit vector, so the trace stays O(1) in exponent size (the unrolled
-        alternative is ~1000 Montgomery products for a Fermat inverse).
-        """
+        """a^e for host-known integer e (lax.scan over exponent bits)."""
         if e == 0:
             return jnp.broadcast_to(jnp.asarray(spec.r_limbs), a.shape).astype(_U32)
         bits = jnp.asarray([int(b) for b in bin(e)[3:]], dtype=jnp.bool_)
@@ -294,6 +248,7 @@ def make_ops(p: int):
     ns.spec = spec
     ns.nl = nl
     ns.p = p
+    ns.element_ndim = 1
     # jitted entry points (retraced per input shape; callable inside jit too)
     ns.add = jax.jit(add)
     ns.sub = jax.jit(sub)

@@ -1,0 +1,145 @@
+"""Radix-2 number-theoretic transform over prime scalar fields, on device.
+
+Used by QAP instance/witness reduction in Groth16/GM17 (reference: arkworks
+ark-poly Radix2EvaluationDomain with rayon-parallel butterflies) and by
+Marlin's polynomial arithmetic.
+
+Design: iterative Cooley-Tukey, decimation-in-time after a bit-reversal
+permutation. Each of the log2(n) stages is one batched butterfly over the
+whole (n, nl) limb array — twiddle factors are precomputed per stage on the
+host (Montgomery form) and looked up by broadcast, so a stage is exactly one
+field mul + add/sub over n/2 lanes. The sequential depth is log2(n); all the
+work inside a stage is data-parallel (shard over the domain axis; the stage
+exchange pattern is the all-to-all of classic distributed FFT).
+
+Domains are the standard 2-adic subgroups: w = two_adic_root^(2^(s - k)).
+Supports coset evaluation (multiply by coset powers pre/post) for the
+Groth16 h(X) computation on a coset of the vanishing domain.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields import params as P
+from ..fields.jfield import field_ops
+from ..fields.limbs import ints_to_limbs
+
+
+class Domain:
+    """Radix-2 evaluation domain of size n = 2^k over field p."""
+
+    def __init__(self, p: int, n: int, two_adic_root: int, two_adicity: int):
+        assert n & (n - 1) == 0, "domain size must be a power of two"
+        k = n.bit_length() - 1
+        assert k <= two_adicity, f"field has no 2^{k} roots of unity"
+        self.p = p
+        self.n = n
+        self.k = k
+        self.ops = field_ops(p)
+        self.omega = pow(two_adic_root, 1 << (two_adicity - k), p)
+        self.omega_inv = pow(self.omega, -1, p)
+        self.n_inv = pow(n, -1, p)
+
+        # stage twiddles, Montgomery form: stage s uses w_m = omega^(n/m),
+        # m = 2^(s+1); twiddle vector = [w_m^0 .. w_m^(m/2-1)] tiled.
+        self._tw = self._make_twiddles(self.omega)
+        self._tw_inv = self._make_twiddles(self.omega_inv)
+
+        # bit-reversal permutation (vectorized)
+        idx = np.arange(n, dtype=np.int64)
+        rev = np.zeros(n, dtype=np.int64)
+        for b in range(self.k):
+            rev = (rev << 1) | ((idx >> b) & 1)
+        self.bitrev = jnp.asarray(rev.astype(np.int32))
+
+        self.n_inv_mont = self.ops.encode_scalar(self.n_inv)
+        self.fft_jit = jax.jit(self.fft)
+        self.ifft_jit = jax.jit(self.ifft)
+        self.coset_fft_jit = jax.jit(self.coset_fft, static_argnums=1)
+        self.coset_ifft_jit = jax.jit(self.coset_ifft, static_argnums=1)
+
+    def _make_twiddles(self, omega: int):
+        tws = []
+        for s in range(self.k):
+            m = 1 << (s + 1)
+            w_m = pow(omega, self.n // m, self.p)
+            powers = []
+            acc = 1
+            for _ in range(m // 2):
+                powers.append(acc)
+                acc = acc * w_m % self.p
+            tws.append(self.ops.encode(powers))  # (m/2, nl) Montgomery
+        return tws
+
+    # -- transforms --------------------------------------------------------
+    def _fft_core(self, x: jnp.ndarray, twiddles) -> jnp.ndarray:
+        """x: (..., n, nl) Montgomery limbs -> transformed, natural order."""
+        f = self.ops
+        n = self.n
+        lead = x.shape[:-2]
+        x = jnp.take(x, self.bitrev, axis=-2)
+        for s in range(self.k):
+            m = 1 << (s + 1)
+            half = m // 2
+            xv = x.reshape(lead + (n // m, m, -1))
+            even = xv[..., :half, :]
+            odd = xv[..., half:, :]
+            t = f.mul_(odd, twiddles[s])  # broadcast (half, nl)
+            x = jnp.concatenate([f.add_(even, t), f.sub_(even, t)], axis=-2)
+            x = x.reshape(lead + (n, -1))
+        return x
+
+    def fft(self, coeffs: jnp.ndarray) -> jnp.ndarray:
+        """Coefficients -> evaluations on the domain (both Montgomery limbs)."""
+        return self._fft_core(coeffs, self._tw)
+
+    def ifft(self, evals: jnp.ndarray) -> jnp.ndarray:
+        """Evaluations -> coefficients."""
+        f = self.ops
+        x = self._fft_core(evals, self._tw_inv)
+        return f.mul_(x, self.n_inv_mont)
+
+    # -- coset transforms (for h(X) = (AB - C)/Z on a coset) ---------------
+    @lru_cache(maxsize=4)
+    def _coset_powers(self, g: int):
+        powers, acc = [], 1
+        for _ in range(self.n):
+            powers.append(acc)
+            acc = acc * g % self.p
+        return self.ops.encode(powers)
+
+    @lru_cache(maxsize=4)
+    def _coset_powers_inv(self, g: int):
+        return self._coset_powers(pow(g, -1, self.p))
+
+    def coset_fft(self, coeffs: jnp.ndarray, g: int) -> jnp.ndarray:
+        """Evaluate on the coset g * <omega>."""
+        f = self.ops
+        scaled = f.mul_(coeffs, self._coset_powers(g))
+        return self.fft(scaled)
+
+    def coset_ifft(self, evals: jnp.ndarray, g: int) -> jnp.ndarray:
+        f = self.ops
+        coeffs = self.ifft(evals)
+        return f.mul_(coeffs, self._coset_powers_inv(g))
+
+    # -- host helpers ------------------------------------------------------
+    def fft_ints(self, xs):
+        a = self.ops.encode(list(xs) + [0] * (self.n - len(xs)))
+        return self.ops.decode(self.fft_jit(a))
+
+    def ifft_ints(self, xs):
+        a = self.ops.encode(list(xs))
+        return self.ops.decode(self.ifft_jit(a))
+
+
+@lru_cache(maxsize=None)
+def domain_for_curve(curve: str, n: int) -> Domain:
+    fp = P.SCALAR_FIELDS[curve]
+    return Domain(fp.p, n, fp.two_adic_root, fp.two_adicity)

@@ -1,0 +1,391 @@
+"""Command-line interface: artifact-compatible mirror of zokrates_cli.
+
+Subcommands follow zokrates_cli/src/bin.rs:41-62: compile, check, inspect,
+compute-witness, setup, universal-setup, generate-proof, verify,
+export-verifier, print-proof, profile, generate-smtlib2, plus mpc/nova
+command groups. Artifacts: `out` (binary IR), `abi.json`, `witness` (+
+`witness.json`), `proving.key`, `verification.key`, `proof.json`,
+`universal_setup.dat`.
+
+Usage: python -m zokrates_tpu <subcommand> [args]   (or the `zokrates-tpu`
+entry point).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import pickle
+import sys
+
+DEFAULT_STDLIB = os.path.join(os.path.dirname(os.path.abspath(__file__)), "stdlib")
+
+CURVES = ["bn128", "bls12_381", "bls12_377", "bw6_761"]
+SCHEMES = ["g16", "gm17", "marlin"]
+BACKENDS = ["ark", "bellman"]
+
+
+def _err(msg):
+    print(f"Error: {msg}", file=sys.stderr)
+    sys.exit(1)
+
+
+# ---------------------------------------------------------------------------
+# compile / check / inspect / profile
+# ---------------------------------------------------------------------------
+
+
+def cmd_compile(args):
+    from .lang.compile import compile_file
+    from .ir.serialize import serialize
+
+    try:
+        art = compile_file(args.input, curve=args.curve, stdlib_dir=args.stdlib_path)
+    except Exception as e:
+        _err(f"compilation failed:\n\n{e}")
+    prog = art.prog
+
+    data = serialize(prog)
+    with open(args.output, "wb") as f:
+        f.write(data)
+    with open(args.abi_spec, "w") as f:
+        json.dump(art.abi, f, indent=2)
+    if args.r1cs:
+        from .interop.circom import write_r1cs
+
+        with open(args.r1cs, "wb") as f:
+            write_r1cs(f, prog)
+    n = prog.constraint_count()
+    print(f"Compiled code written to '{args.output}'")
+    print(f"Number of constraints: {n}")
+
+
+def cmd_check(args):
+    from .lang.compile import compile_file
+
+    try:
+        compile_file(args.input, curve=args.curve, stdlib_dir=args.stdlib_path)
+    except Exception as e:
+        _err(f"check failed:\n\n{e}")
+    print("Program checked, no errors found.")
+
+
+def _load_prog(path):
+    from .ir.serialize import deserialize
+
+    with open(path, "rb") as f:
+        return deserialize(f.read())
+
+
+def cmd_inspect(args):
+    prog = _load_prog(args.input)
+    print(f"curve:       {prog.curve}")
+    print(f"constraints: {prog.constraint_count()}")
+    print(f"arguments:   {len(prog.arguments)} ({sum(1 for a in prog.arguments if not a.private)} public)")
+    print(f"returns:     {prog.return_count}")
+    if args.ztf:
+        from .ir.program import var_name
+
+        for s in prog.statements:
+            print(s)
+
+
+def cmd_profile(args):
+    prog = _load_prog(args.input)
+    # span heat map: spans are not yet carried through the pipeline, so
+    # report the per-statement-kind breakdown (constraint counts)
+    from collections import Counter
+    from .ir.program import Constraint, Directive, LogStatement
+
+    kinds = Counter(type(s).__name__ for s in prog.statements)
+    total = prog.constraint_count()
+    print(f"Total constraints: {total}")
+    for k, v in kinds.most_common():
+        print(f"  {k}: {v}")
+
+
+# ---------------------------------------------------------------------------
+# compute-witness
+# ---------------------------------------------------------------------------
+
+
+def cmd_compute_witness(args):
+    from .abi import encode_inputs
+    from .interp.interpreter import Interpreter
+    from .ir.witness import Witness
+
+    prog = _load_prog(args.input)
+    F = prog.field
+
+    if args.abi:
+        with open(args.abi_spec) as f:
+            abi = json.load(f)
+        if args.stdin:
+            values = json.load(sys.stdin)
+        else:
+            values = json.loads(args.arguments or "[]")
+        inputs = encode_inputs(values, abi["inputs"], F.P)
+    else:
+        raw = args.arguments.split() if args.arguments else []
+        inputs = [int(v) for v in raw]
+
+    try:
+        witness = Interpreter().execute(prog, inputs, log_stream=sys.stdout)
+    except Exception as e:
+        _err(f"execution failed: {e}")
+
+    with open(args.output, "wb") as f:
+        witness.write(f, F)
+    if args.json:
+        with open(args.output + ".json", "w") as f:
+            f.write(witness.to_json())
+    if args.circom_witness:
+        from .interop.circom import write_wtns
+
+        with open(args.circom_witness, "wb") as f:
+            write_wtns(f, prog, witness)
+    print("Witness:")
+    print(witness.format_outputs())
+    print(f"Witness file written to '{args.output}'")
+
+
+# ---------------------------------------------------------------------------
+# setup / prove / verify
+# ---------------------------------------------------------------------------
+
+
+def _scheme_module(scheme):
+    if scheme == "g16":
+        from .schemes import groth16 as m
+    elif scheme == "gm17":
+        from .schemes import gm17 as m
+    elif scheme == "marlin":
+        from .schemes import marlin as m
+    else:
+        _err(f"unknown proving scheme {scheme}")
+    return m
+
+
+def cmd_setup(args):
+    from .ir.r1cs import r1cs_from_prog
+
+    prog = _load_prog(args.input)
+    m = _scheme_module(args.proving_scheme)
+    r1cs = r1cs_from_prog(prog)
+    if args.proving_scheme == "marlin":
+        with open(args.universal_setup_path, "rb") as f:
+            srs = pickle.load(f)
+        pk, vk = m.setup_with_srs(srs, r1cs)
+    else:
+        pk, vk = m.setup(r1cs)
+    with open(args.proving_key_path, "wb") as f:
+        pickle.dump(pk, f)
+    with open(args.verification_key_path, "w") as f:
+        json.dump(vk.to_json(), f, indent=2)
+    print(f"Setup completed")
+    print(f"Proving key written to '{args.proving_key_path}'")
+    print(f"Verification key written to '{args.verification_key_path}'")
+
+
+def cmd_universal_setup(args):
+    from .schemes import marlin
+
+    srs = marlin.universal_setup(args.curve, 2 ** args.size)
+    with open(args.universal_setup_path, "wb") as f:
+        pickle.dump(srs, f)
+    print(f"Universal setup written to '{args.universal_setup_path}'")
+
+
+def cmd_generate_proof(args):
+    from .ir.r1cs import r1cs_from_prog
+    from .ir.witness import Witness
+
+    prog = _load_prog(args.input)
+    F = prog.field
+    m = _scheme_module(args.proving_scheme)
+    with open(args.witness, "rb") as f:
+        witness = Witness.read(f, F)
+    with open(args.proving_key_path, "rb") as f:
+        pk = pickle.load(f)
+    r1cs = r1cs_from_prog(prog)
+    proof = m.prove(r1cs, pk, witness)
+    with open(args.proof_path, "w") as f:
+        json.dump(proof.to_json(), f, indent=2)
+    print(f"Proof written to '{args.proof_path}'")
+
+
+def cmd_verify(args):
+    from .schemes.types import Proof, VerificationKey
+
+    with open(args.verification_key_path) as f:
+        vk = VerificationKey.from_json(json.load(f))
+    with open(args.proof_path) as f:
+        proof = Proof.from_json(json.load(f))
+    if vk.scheme != proof.scheme or vk.curve != proof.curve:
+        _err(f"verification key ({vk.scheme}/{vk.curve}) and proof ({proof.scheme}/{proof.curve}) do not match")
+    m = _scheme_module(vk.scheme)
+    if m.verify(vk, proof):
+        print("PASSED")
+    else:
+        print("FAILED")
+        sys.exit(1)
+
+
+def cmd_print_proof(args):
+    with open(args.proof_path) as f:
+        proof = json.load(f)
+    fmt = args.format
+    points = proof["proof"]
+    if fmt == "json":
+        print(json.dumps(points, indent=2))
+    else:  # remix / abi-tokenized
+        from .schemes.solidity import proof_to_token
+
+        print(proof_to_token(proof))
+
+
+def cmd_export_verifier(args):
+    from .schemes.solidity import export_solidity_verifier
+    from .schemes.types import VerificationKey
+
+    with open(args.verification_key_path) as f:
+        vk = VerificationKey.from_json(json.load(f))
+    code = export_solidity_verifier(vk)
+    with open(args.output, "w") as f:
+        f.write(code)
+    print(f"Verifier exported to '{args.output}'")
+
+
+def cmd_generate_smtlib2(args):
+    from .ir.smtlib2 import to_smtlib2
+
+    prog = _load_prog(args.input)
+    out = to_smtlib2(prog)
+    with open(args.output, "w") as f:
+        f.write(out)
+    print(f"SMT-LIB2 formula written to '{args.output}'")
+
+
+def _todo(feature):
+    def run(args):
+        _err(f"{feature} is not available yet in this build")
+
+    return run
+
+
+# ---------------------------------------------------------------------------
+# argument parsing
+# ---------------------------------------------------------------------------
+
+
+def make_parser():
+    p = argparse.ArgumentParser(
+        prog="zokrates-tpu", description="ZoKrates-compatible zkSNARK toolbox, TPU-native"
+    )
+    sub = p.add_subparsers(dest="command", required=True)
+
+    c = sub.add_parser("compile", help="Compiles into a runnable constraint system")
+    c.add_argument("-i", "--input", required=True)
+    c.add_argument("-o", "--output", default="out")
+    c.add_argument("-s", "--abi-spec", default="abi.json")
+    c.add_argument("-c", "--curve", default="bn128", choices=CURVES + ["pallas", "vesta"])
+    c.add_argument("--stdlib-path", default=None)
+    c.add_argument("--debug", action="store_true")
+    c.add_argument("--r1cs", default=None, help="write a circom .r1cs file")
+    c.set_defaults(fn=cmd_compile)
+
+    c = sub.add_parser("check", help="Checks a program for errors")
+    c.add_argument("-i", "--input", required=True)
+    c.add_argument("-c", "--curve", default="bn128", choices=CURVES + ["pallas", "vesta"])
+    c.add_argument("--stdlib-path", default=None)
+    c.set_defaults(fn=cmd_check)
+
+    c = sub.add_parser("inspect", help="Inspects a compiled program")
+    c.add_argument("-i", "--input", default="out")
+    c.add_argument("--ztf", action="store_true", help="print human readable statements")
+    c.set_defaults(fn=cmd_inspect)
+
+    c = sub.add_parser("profile", help="Profiles a compiled program")
+    c.add_argument("-i", "--input", default="out")
+    c.set_defaults(fn=cmd_profile)
+
+    c = sub.add_parser("compute-witness", help="Calculates a witness")
+    c.add_argument("-i", "--input", default="out")
+    c.add_argument("-s", "--abi-spec", default="abi.json")
+    c.add_argument("-o", "--output", default="witness")
+    c.add_argument("-a", "--arguments", default=None, help="arguments (space separated, or JSON with --abi)")
+    c.add_argument("--abi", action="store_true")
+    c.add_argument("--stdin", action="store_true")
+    c.add_argument("--json", action="store_true", help="also write witness.json")
+    c.add_argument("--circom-witness", default=None)
+    c.set_defaults(fn=cmd_compute_witness)
+
+    c = sub.add_parser("setup", help="Performs a trusted setup")
+    c.add_argument("-i", "--input", default="out")
+    c.add_argument("-p", "--proving-key-path", default="proving.key")
+    c.add_argument("-v", "--verification-key-path", default="verification.key")
+    c.add_argument("-s", "--proving-scheme", default="g16", choices=SCHEMES)
+    c.add_argument("-b", "--backend", default="ark", choices=BACKENDS)
+    c.add_argument("-u", "--universal-setup-path", default="universal_setup.dat")
+    c.set_defaults(fn=cmd_setup)
+
+    c = sub.add_parser("universal-setup", help="Universal setup (marlin)")
+    c.add_argument("-c", "--curve", default="bn128", choices=CURVES)
+    c.add_argument("-n", "--size", type=int, default=17, help="log2 size")
+    c.add_argument("-u", "--universal-setup-path", default="universal_setup.dat")
+    c.set_defaults(fn=cmd_universal_setup)
+
+    c = sub.add_parser("generate-proof", help="Generates a proof")
+    c.add_argument("-i", "--input", default="out")
+    c.add_argument("-w", "--witness", default="witness")
+    c.add_argument("-p", "--proving-key-path", default="proving.key")
+    c.add_argument("-j", "--proof-path", default="proof.json")
+    c.add_argument("-s", "--proving-scheme", default="g16", choices=SCHEMES)
+    c.add_argument("-b", "--backend", default="ark", choices=BACKENDS)
+    c.set_defaults(fn=cmd_generate_proof)
+
+    c = sub.add_parser("verify", help="Verifies a proof")
+    c.add_argument("-v", "--verification-key-path", default="verification.key")
+    c.add_argument("-j", "--proof-path", default="proof.json")
+    c.set_defaults(fn=cmd_verify)
+
+    c = sub.add_parser("export-verifier", help="Exports a Solidity verifier")
+    c.add_argument("-i", "--verification-key-path", default="verification.key")
+    c.add_argument("-o", "--output", default="verifier.sol")
+    c.set_defaults(fn=cmd_export_verifier)
+
+    c = sub.add_parser("print-proof", help="Prints a proof")
+    c.add_argument("-j", "--proof-path", default="proof.json")
+    c.add_argument("-f", "--format", default="json", choices=["json", "remix"])
+    c.set_defaults(fn=cmd_print_proof)
+
+    c = sub.add_parser("generate-smtlib2", help="Exports constraints as SMT-LIB2")
+    c.add_argument("-i", "--input", default="out")
+    c.add_argument("-o", "--output", default="out.smt2")
+    c.set_defaults(fn=cmd_generate_smtlib2)
+
+    for name in ("init", "contribute", "beacon", "verify", "export"):
+        c = sub.add_parser(f"mpc-{name}", help=f"MPC ceremony: {name}")
+        c.set_defaults(fn=_todo(f"mpc {name}"))
+    for name in ("setup", "prove", "verify", "compress"):
+        c = sub.add_parser(f"nova-{name}", help=f"Nova IVC: {name}")
+        c.set_defaults(fn=_todo(f"nova {name}"))
+
+    return p
+
+
+def main(argv=None):
+    # allow forcing the JAX platform (the axon TPU plugin ignores the
+    # standard JAX_PLATFORMS env var): ZOKRATES_TPU_PLATFORM=cpu|tpu|axon
+    plat = os.environ.get("ZOKRATES_TPU_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+    args = make_parser().parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

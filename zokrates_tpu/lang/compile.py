@@ -14,6 +14,7 @@ from dataclasses import dataclass
 from typing import Callable, Optional, Tuple
 
 from ..fields.field import FIELDS
+from ..ir.optimizer import optimize
 from ..ir.program import Prog
 from .evaluator import CompileError, Evaluator
 
@@ -83,7 +84,7 @@ def compile_source(
         resolver_fn = resolver
     ev = Evaluator(FIELDS[curve], resolver_fn, curve)
     ev.log_enabled = True
-    prog = ev.compile_main(path)
+    prog = optimize(ev.compile_main(path))
     return CompilationArtifacts(prog=prog, abi=ev.abi)
 
 
@@ -91,5 +92,5 @@ def compile_file(path: str, curve: str = "bn128", stdlib_dir: str = None) -> Com
     with open(path) as f:
         source = f.read()
     ev = Evaluator(FIELDS[curve], fs_resolver(stdlib_dir), curve)
-    prog = ev.compile_main(os.path.abspath(path))
+    prog = optimize(ev.compile_main(os.path.abspath(path)))
     return CompilationArtifacts(prog=prog, abi=ev.abi)

@@ -117,12 +117,13 @@ class ModuleCtx:
 class _Frame:
     """One inlined call frame: variable environment + generic assignments."""
 
-    __slots__ = ("ctx", "env", "generics")
+    __slots__ = ("ctx", "env", "generics", "ret_ty")
 
-    def __init__(self, ctx: ModuleCtx, env: Dict[str, Value], generics: Dict[str, int]):
+    def __init__(self, ctx: ModuleCtx, env: Dict[str, Value], generics: Dict[str, int], ret_ty=None):
         self.ctx = ctx
         self.env = env
         self.generics = generics
+        self.ret_ty = ret_ty
 
 
 class _Return(Exception):
@@ -139,6 +140,8 @@ class Evaluator:
         self.modules: Dict[str, ModuleCtx] = {}
         self.abi = {"inputs": [], "output": {"type": "tuple", "components": {"elements": []}}}
         self.log_enabled = True
+        self._scopes: List[tuple] = []
+        self.witness_mode = False  # True inside asm solver closures
 
     # -- module system -----------------------------------------------------
     def load_module(self, path: str, importing: Optional[str] = None) -> ModuleCtx:
@@ -210,7 +213,7 @@ class Evaluator:
     def coerce(self, v: Value, ty: CType, span=None) -> Value:
         """Check v against ty; untyped int literals appear as FieldVal
         placeholders flagged via _untyped."""
-        if getattr(v, "_untyped", False):
+        if getattr(v, "_untyped", False) and isinstance(v, (FieldVal, UintVal)):
             c = v.lin.try_constant(self.flat.p)
             return self.make_literal(c, ty, span)
         if isinstance(ty, ArrayT) and isinstance(v, ArrayVal):
@@ -271,7 +274,7 @@ class Evaluator:
             abi_inputs.append({"name": p.name, "public": not private, "type": ty.abi()})
 
         ret_ty = self.concretize_type(fn.return_ty, sym.module, {}) if fn.return_ty else TupleT(())
-        frame = _Frame(sym.module, env, {})
+        frame = _Frame(sym.module, env, {}, ret_ty)
         ret_val: Optional[Value] = None
         try:
             self.exec_block(fn.body, frame)
@@ -322,15 +325,50 @@ class Evaluator:
         for s in stmts:
             self.exec_stmt(s, frame)
 
+    def exec_scoped(self, stmts: Sequence[A.Stmt], frame: _Frame, declare=None):
+        """Run statements in a lexical scope: declarations made inside are
+        dropped (and shadowed outer bindings restored) on exit."""
+        saved: Dict[str, Value] = {}
+        declared = set()
+        self._scopes.append((id(frame), saved, declared))
+        try:
+            if declare:
+                for name, val in declare:
+                    self._declare(name, frame)
+                    frame.env[name] = val
+            self.exec_block(stmts, frame)
+        finally:
+            self._scopes.pop()
+            for name in declared:
+                if name in saved:
+                    frame.env[name] = saved[name]
+                else:
+                    frame.env.pop(name, None)
+
+    def _declare(self, name: str, frame: _Frame):
+        if self._scopes:
+            fid, saved, declared = self._scopes[-1]
+            if fid != id(frame):
+                return  # declaration belongs to a different (callee) frame
+            if name not in declared:
+                declared.add(name)
+                if name in frame.env:
+                    saved[name] = frame.env[name]
+
     def exec_stmt(self, s: A.Stmt, frame: _Frame):
         if isinstance(s, A.Return):
-            val = self.eval_expr(s.value, frame) if s.value is not None else None
+            val = (
+                self.eval_expr(s.value, frame, expected=frame.ret_ty)
+                if s.value is not None
+                else None
+            )
             raise _Return(val)
         if isinstance(s, A.Definition):
             if s.ty is not None:
                 ty = self.concretize_type(s.ty, frame.ctx, frame.generics, frame.env)
                 val = self.eval_expr(s.value, frame, expected=ty)
                 val = self.coerce(val, ty, s.span)
+                self._declare(s.assignee.name, frame)
                 frame.env[s.assignee.name] = val
             else:
                 self._assign(s.assignee, s.value, frame, s.span)
@@ -345,9 +383,9 @@ class Evaluator:
                 raise CompileError(f"loop of size {end - start} exceeds 2^20", s.span)
             var_ty = self.concretize_type(s.var_ty, frame.ctx, frame.generics, frame.env)
             for i in range(start, end):
-                frame.env[s.var] = self.make_literal(i, var_ty, s.span)
-                self.exec_block(s.body, frame)
-            frame.env.pop(s.var, None)
+                self.exec_scoped(
+                    s.body, frame, declare=[(s.var, self.make_literal(i, var_ty, s.span))]
+                )
             return
         if isinstance(s, A.Log):
             if self.log_enabled:
@@ -374,11 +412,43 @@ class Evaluator:
         msg = s.message
         # fast-path: equality asserts become direct constraints
         if isinstance(e, A.BinaryOp) and e.op == "==":
+            if self._assert_quad_eq(e.left, e.right, frame, msg, s.span):
+                return
             a = self.eval_expr(e.left, frame)
             b = self.eval_expr(e.right, frame, expected=a.ty if not getattr(a, "_untyped", False) else None)
             a, b = self._unify(a, b, s.span)
             self.flat.assert_eq(a, b, msg or self._err(s.span, frame))
             return
+        if (
+            isinstance(e, A.BinaryOp)
+            and e.op in ("<", "<=", ">", ">=")
+            and not self.flat.conditions
+        ):
+            a = self.eval_expr(e.left, frame)
+            b = self.eval_expr(e.right, frame, expected=a.ty if not getattr(a, "_untyped", False) else None)
+            a, b = self._unify(a, b, s.span)
+            err = msg or self._err(s.span, frame)
+            flat = self.flat
+            if isinstance(a, FieldVal) and isinstance(b, FieldVal):
+                if e.op == "<":
+                    flat.assert_f_lt(a, b, err)
+                elif e.op == "<=":
+                    flat.assert_f_le(a, b, err)
+                elif e.op == ">":
+                    flat.assert_f_lt(b, a, err)
+                else:
+                    flat.assert_f_le(b, a, err)
+                return
+            if isinstance(a, UintVal) and isinstance(b, UintVal):
+                if e.op == "<":
+                    flat.assert_u_lt(a, b, err)
+                elif e.op == "<=":
+                    flat.assert_u_le(a, b, err)
+                elif e.op == ">":
+                    flat.assert_u_lt(b, a, err)
+                else:
+                    flat.assert_u_le(b, a, err)
+                return
         cond = self.eval_expr(e, frame, expected=BOOL)
         if not isinstance(cond, BoolVal):
             raise CompileError("assertion must be boolean", s.span)
@@ -387,82 +457,187 @@ class Evaluator:
     def _err(self, span, frame) -> str:
         return f"{frame.ctx.module.path}:{span[0]}:{span[1]}"
 
+    def _quad_form(self, e, frame):
+        """Try to view a field expression as linear + sum of products without
+        allocating wires (reference lqc.rs). Returns (LinComb, [(L, R)]) or
+        None when the expression isn't field-valued."""
+        from ..ir.program import LinComb as _LC
+
+        if isinstance(e, A.BinaryOp) and e.op in ("+", "-"):
+            l = self._quad_form(e.left, frame)
+            if l is None:
+                return None
+            r = self._quad_form(e.right, frame)
+            if r is None:
+                return None
+            if e.op == "+":
+                return (l[0] + r[0], l[1] + r[1])
+            return (l[0] - r[0], l[1] + [(L, -R) for (L, R) in r[1]])
+        if isinstance(e, A.UnaryOp) and e.op == "neg":
+            inner = self._quad_form(e.operand, frame)
+            if inner is None:
+                return None
+            return (-inner[0], [(L, -R) for (L, R) in inner[1]])
+        if isinstance(e, A.BinaryOp) and e.op == "*":
+            va = self.eval_expr(e.left, frame)
+            vb = self.eval_expr(e.right, frame)
+            va, vb = self._unify(va, vb, e.span)
+            if getattr(va, "_untyped", False) and getattr(vb, "_untyped", False):
+                ca = va.lin.try_constant(self.flat.p)
+                cb = vb.lin.try_constant(self.flat.p)
+                return (_LC.constant(ca * cb % self.flat.p), [])
+            if not (isinstance(va, FieldVal) and isinstance(vb, FieldVal)):
+                return None
+            ca, cb = self.flat.const_of(va), self.flat.const_of(vb)
+            if ca is not None:
+                return (vb.lin.scale(ca), [])
+            if cb is not None:
+                return (va.lin.scale(cb), [])
+            return (_LC(), [(va.lin, vb.lin)])
+        v = self.eval_expr(e, frame)
+        if getattr(v, "_untyped", False):
+            return (_LC.constant(v.lin.try_constant(self.flat.p)), [])
+        if isinstance(v, FieldVal):
+            return (v.lin, [])
+        return None
+
+    def _assert_quad_eq(self, lhs_e, rhs_e, frame, msg, span) -> bool:
+        """assert(lhs == rhs) via the quadratic-form path; returns False when
+        the expressions aren't plain field forms (caller falls back)."""
+        if self.flat.conditions:
+            return False
+        l = self._quad_form(lhs_e, frame)
+        if l is None:
+            return False
+        r = self._quad_form(rhs_e, frame)
+        if r is None:
+            return False
+        if not (l[1] or r[1]):
+            # pure linear: emit the redefinition-friendly orientation here
+            # (re-evaluating via the generic path would duplicate work)
+            la = self.flat.reduce_lin(l[0])
+            lb = self.flat.reduce_lin(r[0])
+            self.flat._assert_lin_eq(la, lb, None, msg or self._err(span, frame))
+            return True
+        linear = l[0] - r[0]
+        products = l[1] + [(L, -R) for (L, R) in r[1]]
+        from ..ir.program import LinComb as _LC
+
+        self.flat.emit_quad_eq(linear, products, _LC(), msg or self._err(span, frame))
+        return True
+
     def _exec_asm(self, s: A.Stmt, frame: _Frame):
         flat = self.flat
         if isinstance(s, A.AsmConstraint):
+            if self._assert_quad_eq(s.lhs, s.rhs, frame, self._err(s.span, frame), s.span):
+                return
             lhs = self.eval_expr(s.lhs, frame)
             rhs = self.eval_expr(s.rhs, frame)
             lhs, rhs = self._unify(lhs, rhs, s.span)
             flat.assert_eq(lhs, rhs, self._err(s.span, frame))
             return
         if isinstance(s, A.AsmAssign):
-            # <-- unconstrained witness assignment via a Zir-style solver:
-            # evaluate the expression *symbolically at witness time*. We
-            # implement it by evaluating the RHS as usual but through
-            # field-only operations which are all deterministic; the
-            # difference from `=` is that `<--` must not add constraints,
-            # so we run the RHS evaluation with constraint emission
-            # captured and convert the result into a directive.
-            val, solver_fn, input_lins = self._eval_unconstrained(s.value, frame)
-            out = flat.new_var()
-            flat.directive(input_lins, [out], Solver("Zir", solver_fn))
-            res = FieldVal(LinComb.from_var(out))
             if s.constrained:
-                lhs_cur = self.eval_expr(s.assignee, frame) if not isinstance(s.assignee, A.Ident) or s.assignee.name in frame.env else None
-                # <== means: assign and constrain equality
-                self._store(s.assignee, res, frame, s.span)
-                rhs2 = self.eval_expr(s.value, frame)
-                flat.assert_eq(res, rhs2, self._err(s.span, frame))
-            else:
-                self._store(s.assignee, res, frame, s.span)
+                # `<==` lowers to `<--` + `===` (reference AssemblyTransformer):
+                # the directive assigns at witness time, the constraint checks
+                self._exec_asm_unconstrained(s, frame)
+                self._exec_asm(A.AsmConstraint(s.span, s.assignee, s.value), frame)
+                return
+            self._exec_asm_unconstrained(s, frame)
             return
         raise CompileError("unsupported asm statement", s.span)
 
-    def _eval_unconstrained(self, e: A.Expr, frame: _Frame):
-        """Build a witness-time solver closure for an asm <-- expression."""
-        # collect the field-typed free variables in the expression
+    def _exec_asm_unconstrained(self, s: A.AsmAssign, frame: _Frame):
+        """`x <-- expr`: witness-time evaluation with NO constraints — the
+        expression becomes a Zir solver closure run by the interpreter."""
+        flat = self.flat
+        cur = self.eval_expr(s.assignee, frame)
+        if self.witness_mode:
+            # already inside a solver closure: everything is constant, so
+            # just evaluate and assign directly
+            val = self.eval_expr(s.value, frame, expected=cur.ty)
+            val = self.coerce(val, cur.ty, s.span)
+            self._store(s.assignee, val, frame, s.span)
+            return
+        out_ty = cur.ty
+        n_out = len(leaves(cur))
+
+        # free variables of the expression (any in-scope value)
         names: List[str] = []
 
         def walk(x):
-            if isinstance(x, A.Ident) and x.name in frame.env and x.name not in names:
-                names.append(x.name)
-            for f in getattr(x, "__dataclass_fields__", {}):
-                v = getattr(x, f)
-                if isinstance(v, A.Expr):
+            if isinstance(x, A.Ident):
+                if x.name in frame.env and x.name not in names:
+                    names.append(x.name)
+                return
+            for fld in getattr(x, "__dataclass_fields__", {}):
+                v = getattr(x, fld)
+                if isinstance(v, (A.Expr, A.Stmt)):
                     walk(v)
                 elif isinstance(v, list):
                     for item in v:
                         it = item[1] if isinstance(item, tuple) else item
-                        if isinstance(it, A.Expr):
+                        if isinstance(it, (A.Expr, A.Stmt)):
                             walk(it)
 
-        walk(e)
+        walk(s.value)
+
         input_lins = []
+        in_specs = []  # (name, type, leaf kinds)
         for n in names:
             v = frame.env[n]
-            if not isinstance(v, (FieldVal, BoolVal, UintVal)):
-                raise CompileError("asm <-- supports scalar inputs only", e.span)
-            input_lins.append(v.lin)
+            lf = leaves(v)
+            for leaf in lf:
+                lin = leaf.lin
+                if isinstance(leaf, UintVal):
+                    lin = flat.u_reduce(leaf).lin
+                input_lins.append(lin)
+            in_specs.append((n, v.ty, len(lf)))
 
-        ev = self
-
-        def solver_fn(inputs, field_cls):
-            p = field_cls.P
-            sub_flat = Flattener(field_cls)
-            sub_ev = Evaluator(field_cls, ev.resolver, ev.curve)
-            sub_ev.flat = sub_flat
-            env = {}
-            for n, val in zip(names, inputs):
-                env[n] = FieldVal(LinComb.constant(val % p))
-            sub_frame = _Frame(frame.ctx, env, dict(frame.generics))
-            out = sub_ev.eval_expr(e, sub_frame)
-            c = leaves(out)[0].lin.try_constant(p)
-            if c is None:
-                raise FlattenError("asm <-- expression did not fold to a constant")
-            return [c]
-
+        spec = {
+            "module_path": frame.ctx.module.path,
+            "expr": s.value,
+            "in_specs": in_specs,
+            "generics": dict(frame.generics),
+            "out_ty": out_ty,
+            "curve": self.curve,
+            "span": s.span,
+        }
+        solver_fn = make_zir_solver(spec, self)
         solver_fn.params = names
-        return None, solver_fn, input_lins
+        outs = [flat.new_var() for _ in range(n_out)]
+        flat.directive(input_lins, outs, Solver("Zir", solver_fn))
+        # rebuild a value of the assignee's type over the fresh wires;
+        # asm is unsafe by design: bools/uints are trusted unconstrained
+        from ..ir.program import LinComb as _LC
+
+        leaf_vals = []
+        for wire, proto in zip(outs, leaves(cur)):
+            lin = _LC.from_var(wire)
+            if isinstance(proto, BoolVal):
+                leaf_vals.append(BoolVal(lin))
+            elif isinstance(proto, UintVal):
+                leaf_vals.append(UintVal(lin, proto.width, (1 << proto.width) - 1))
+            else:
+                leaf_vals.append(FieldVal(lin))
+        val = rebuild(out_ty, iter(leaf_vals))
+        self._store(s.assignee, val, frame, s.span)
+
+    def _const_value_of_type(self, ty: CType, vals) -> Value:
+        flat = self.flat
+        if isinstance(ty, FieldT):
+            return flat.f_const(next(vals))
+        if isinstance(ty, BoolT):
+            return flat.b_const(bool(next(vals)))
+        if isinstance(ty, UintT):
+            return flat.u_const(next(vals), ty.width)
+        if isinstance(ty, ArrayT):
+            return ArrayVal(ty.element, [self._const_value_of_type(ty.element, vals) for _ in range(ty.length)])
+        if isinstance(ty, TupleT):
+            return TupleVal([self._const_value_of_type(t, vals) for t in ty.elements])
+        if isinstance(ty, StructT):
+            return StructVal(ty, {n: self._const_value_of_type(t, vals) for n, t in ty.members})
+        raise CompileError(f"unsupported asm type {ty}")
 
     def _assign(self, target: A.Expr, value_expr: A.Expr, frame: _Frame, span):
         # find root identifier and expected type of the target
@@ -572,7 +747,9 @@ class Evaluator:
                     return self._untyped_const(-c % flat.p)
                 if isinstance(v, FieldVal):
                     return flat.f_neg(v)
-                raise CompileError("unary - expects field", e.span)
+                if isinstance(v, UintVal):
+                    return flat.u_sub(flat.u_const(0, v.width), v)
+                raise CompileError("unary - expects field or uint", e.span)
         if isinstance(e, A.BinaryOp):
             return self._eval_binop(e, frame, expected)
         if isinstance(e, A.Ternary):
@@ -585,7 +762,12 @@ class Evaluator:
             v = self.eval_expr(e.value, frame, expected=elem_expected)
             if getattr(v, "_untyped", False) and elem_expected is not None:
                 v = self.coerce(v, elem_expected, e.span)
-            return ArrayVal(v.ty, [v] * count)
+            arr = ArrayVal(v.ty, [v] * count)
+            if getattr(v, "_untyped", False) or getattr(v, "_untyped_arr", False) or getattr(v, "_untyped", False):
+                arr._untyped = True
+            if getattr(v, "_untyped", False):
+                arr._untyped = True
+            return arr
         if isinstance(e, A.InlineTuple):
             expects = expected.elements if isinstance(expected, TupleT) else [None] * len(e.items)
             items = [self.eval_expr(x, frame, expected=t) for x, t in zip(e.items, expects)]
@@ -646,6 +828,7 @@ class Evaluator:
             raise CompileError("empty array literal needs a type", e.span)
         # unify untyped literals against the first typed element
         elem_ty = elem_expected
+        all_untyped = all(getattr(it, "_untyped", False) for it in items)
         if elem_ty is None:
             for it in items:
                 if not getattr(it, "_untyped", False):
@@ -653,6 +836,11 @@ class Evaluator:
                     break
             if elem_ty is None:
                 elem_ty = FIELD
+        if all_untyped and elem_expected is None:
+            # keep the literals adaptable: the array re-types at use site
+            arr = ArrayVal(elem_ty, items)
+            arr._untyped = True
+            return arr
         items = [
             self.coerce(it, elem_ty, e.span) if getattr(it, "_untyped", False) else it
             for it in items
@@ -686,18 +874,29 @@ class Evaluator:
             if c >= base.ty.length:
                 raise CompileError(f"index {c} out of bounds for {base.ty}", e.span)
             return base.items[c]
-        # dynamic index: linear scan select (reference flattens select() the
-        # same way via stdlib or VariableWriteRemover muxes)
+        # dynamic index: linear-scan mux + bounds check (reference emits the
+        # same via VariableWriteRemover; sum of one-hot eq flags must be 1,
+        # which rejects out-of-range indices at witness time)
         if not isinstance(idx_val, (UintVal, FieldVal)):
             raise CompileError("index must be an integer", e.span)
-        result = base.items[0]
-        some = self.flat
-        for i in range(1, base.ty.length):
+        flat = self.flat
+        conds = []
+        for i in range(base.ty.length):
             if isinstance(idx_val, UintVal):
-                cond = some.u_eq(idx_val, some.u_const(i, idx_val.width))
+                conds.append(flat.u_eq(idx_val, flat.u_const(i, idx_val.width)))
             else:
-                cond = some.f_eq(idx_val, some.f_const(i))
-            result = some.select(cond, base.items[i], result)
+                conds.append(flat.f_eq(idx_val, flat.f_const(i)))
+        from ..ir.program import LinComb as _LC, QuadComb as _QC
+
+        onehot = _LC()
+        for c in conds:
+            onehot = onehot + c.lin
+        flat.constraint(
+            _QC.from_lin(flat.reduce_lin(onehot)), _LC.one(), "index out of bounds"
+        )
+        result = base.items[0]
+        for i in range(1, base.ty.length):
+            result = flat.select(conds[i], base.items[i], result)
         return result
 
     def _eval_ternary(self, e: A.Ternary, frame: _Frame, expected):
@@ -707,24 +906,130 @@ class Evaluator:
         cc = self.flat.const_of(cond)
         if cc is not None and not e.then_stmts and not e.else_stmts:
             return self.eval_expr(e.then_expr if cc else e.else_expr, frame, expected)
-        # evaluate both branches under a guard for assertion semantics
-        self.flat.conditions.append(cond)
+        # ZoKrates evaluates BOTH branches unconditionally; assertions inside
+        # branches fire regardless of the condition (documented semantics,
+        # see core/panics corpus tests)
         saved = dict(frame.env)
         self.exec_block(e.then_stmts, frame)
         then_v = self.eval_expr(e.then_expr, frame, expected)
         frame.env = saved
-        self.flat.conditions[-1] = self.flat.b_not(cond)
         saved2 = dict(frame.env)
         self.exec_block(e.else_stmts, frame)
         else_v = self.eval_expr(e.else_expr, frame, expected)
         frame.env = saved2
-        self.flat.conditions.pop()
         then_v, else_v = self._unify(then_v, else_v, e.span)
         if then_v.ty != else_v.ty:
             raise CompileError(
                 f"branch types differ: {then_v.ty} vs {else_v.ty}", e.span
             )
         return self.flat.select(cond, then_v, else_v)
+
+
+    def _match_sha_pattern(self, e, frame):
+        """Recognize the sha choice/majority shapes on uints and emit the
+        dedicated 1-2 constraint/bit gadgets (reference ShaCh /
+        ShaAndXorAndXorAnd solvers, interpreter lib.rs:283-300)."""
+
+        def is_and(x):
+            return isinstance(x, A.BinaryOp) and x.op == "&"
+
+        def is_not(x):
+            return isinstance(x, A.UnaryOp) and x.op == "not"
+
+        def same_ident(x, y):
+            return (
+                isinstance(x, A.Ident) and isinstance(y, A.Ident) and x.name == y.name
+            )
+
+        # ch: (e & f) ^ (!e & g)
+        if is_and(e.left) and is_and(e.right):
+            l, r = e.left, e.right
+            for a1, b1 in ((l.left, l.right), (l.right, l.left)):
+                for a2, b2 in ((r.left, r.right), (r.right, r.left)):
+                    if is_not(a2) and same_ident(a1, a2.operand):
+                        ev_ = self.eval_expr(a1, frame)
+                        fv = self.eval_expr(b1, frame)
+                        gv = self.eval_expr(b2, frame)
+                        if all(isinstance(v, UintVal) for v in (ev_, fv, gv)):
+                            return self._sha_ch(ev_, fv, gv)
+        # maj: ((a & b) ^ (a & c)) ^ (b & c) in any association
+        terms = []
+
+        def collect_xor(x):
+            if isinstance(x, A.BinaryOp) and x.op == "^":
+                collect_xor(x.left)
+                collect_xor(x.right)
+            else:
+                terms.append(x)
+
+        collect_xor(e)
+        if len(terms) == 3 and all(is_and(t) for t in terms):
+            idents = []
+            for t in terms:
+                pair = []
+                for sub in (t.left, t.right):
+                    if not isinstance(sub, A.Ident):
+                        return None
+                    pair.append(sub.name)
+                idents.append(frozenset(pair))
+            all_names = set()
+            for p in idents:
+                all_names |= p
+            if len(all_names) == 3 and len(set(idents)) == 3:
+                a_n, b_n, c_n = sorted(all_names)
+                av = self.eval_expr(A.Ident((0, 0), a_n), frame)
+                bv = self.eval_expr(A.Ident((0, 0), b_n), frame)
+                cv = self.eval_expr(A.Ident((0, 0), c_n), frame)
+                if all(isinstance(v, UintVal) for v in (av, bv, cv)):
+                    return self._sha_maj(av, bv, cv)
+        return None
+
+    def _sha_ch(self, ev, fv, gv):
+        from ..ir.program import LinComb as _LC, QuadComb as _QC, Solver as _So
+
+        flat = self.flat
+        eb, fb, gb = flat.u_bits(ev), flat.u_bits(fv), flat.u_bits(gv)
+        out_bits = []
+        for e_i, f_i, g_i in zip(eb, fb, gb):
+            ce, cf, cg = flat.const_of(e_i), flat.const_of(f_i), flat.const_of(g_i)
+            if ce is not None and cf is not None and cg is not None:
+                out_bits.append(flat.b_const(bool((ce & cf) ^ ((1 - ce) & cg))))
+                continue
+            o = flat.new_var()
+            flat.directive([e_i.lin, f_i.lin, g_i.lin], [o], _So("ShaCh"))
+            # e*(f-g) == o - g
+            flat.constraint(
+                _QC(e_i.lin, flat.reduce_lin(f_i.lin - g_i.lin)),
+                flat.reduce_lin(_LC.from_var(o) - g_i.lin),
+            )
+            out_bits.append(BoolVal(_LC.from_var(o)))
+        return flat.u_from_bits(out_bits, ev.width)
+
+    def _sha_maj(self, av, bv, cv):
+        from ..ir.program import LinComb as _LC, QuadComb as _QC, Solver as _So
+
+        flat = self.flat
+        ab, bb, cb = flat.u_bits(av), flat.u_bits(bv), flat.u_bits(cv)
+        out_bits = []
+        for a_i, b_i, c_i in zip(ab, bb, cb):
+            ca, cb_, cc = flat.const_of(a_i), flat.const_of(b_i), flat.const_of(c_i)
+            if ca is not None and cb_ is not None and cc is not None:
+                out_bits.append(
+                    flat.b_const(bool((ca & cb_) ^ (ca & cc) ^ (cb_ & cc)))
+                )
+                continue
+            o = flat.new_var()
+            flat.directive(
+                [a_i.lin, b_i.lin, c_i.lin], [o], _So("ShaAndXorAndXorAnd")
+            )
+            # t = b*c ; (2t - b - c)*a == t - o
+            t = flat._mul_wire(b_i.lin, c_i.lin)
+            flat.constraint(
+                _QC(flat.reduce_lin(t.scale(2) - b_i.lin - c_i.lin), a_i.lin),
+                flat.reduce_lin(t - _LC.from_var(o)),
+            )
+            out_bits.append(BoolVal(_LC.from_var(o)))
+        return flat.u_from_bits(out_bits, av.width)
 
     def _eval_binop(self, e: A.BinaryOp, frame: _Frame, expected):
         flat = self.flat
@@ -736,7 +1041,12 @@ class Evaluator:
                 raise CompileError(f"{op} expects booleans", e.span)
             return flat.b_and(a, b) if op == "&&" else flat.b_or(a, b)
 
-        hint = expected if op in ("+", "-", "*", "/", "**", "%", "|", "&", "^", "<<", ">>") else None
+        if op == "^":
+            m = self._match_sha_pattern(e, frame)
+            if m is not None:
+                return m
+
+        hint = expected if op in ("+", "-", "*", "/", "**", "%", "|", "&", "^") else None
         a = self.eval_expr(e.left, frame, expected=hint)
         bexp = hint
         if bexp is None and not getattr(a, "_untyped", False) and op not in ("<<", ">>", "**"):
@@ -745,17 +1055,60 @@ class Evaluator:
             b = self.eval_expr(e.right, frame, expected=U32)
         else:
             b = self.eval_expr(e.right, frame, expected=bexp)
-        a, b = self._unify(a, b, e.span)
 
+        # both operands untyped literals: fold with integer semantics and
+        # stay untyped so context can still pick the type
+        if getattr(a, "_untyped", False) and getattr(b, "_untyped", False):
+            ca = a.lin.try_constant(flat.p)
+            cb = b.lin.try_constant(flat.p)
+            if op in ("+", "-", "*", "**", "%", "&", "|", "^", "<<", ">>"):
+                import operator as _op
+
+                fn = {
+                    "+": _op.add, "-": _op.sub, "*": _op.mul,
+                    "**": lambda x, y: pow(x, y, flat.p), "%": _op.mod,
+                    "&": _op.and_, "|": _op.or_, "^": _op.xor,
+                    "<<": _op.lshift, ">>": _op.rshift,
+                }[op]
+                return self._untyped_const(fn(ca, cb) % flat.p)
+            if op == "/":
+                return self._untyped_const(ca * pow(cb, -1, flat.p) % flat.p)
+            if op in ("==", "!=", "<", "<=", ">", ">="):
+                import operator as _op
+
+                fn = {"==": _op.eq, "!=": _op.ne, "<": _op.lt, "<=": _op.le, ">": _op.gt, ">=": _op.ge}[op]
+                return flat.b_const(fn(ca, cb))
         if op == "**":
-            if not isinstance(a, FieldVal):
-                raise CompileError("** expects a field base", e.span)
             exp = leaves(b)[0].lin.try_constant(flat.p)
             if exp is None:
                 raise CompileError("** exponent must be a compile-time constant", e.span)
+            if getattr(a, "_untyped", False):
+                ca = a.lin.try_constant(flat.p)
+                return self._untyped_const(pow(ca, exp, flat.p))
+            if not isinstance(a, FieldVal):
+                raise CompileError("** expects a field base", e.span)
             return flat.f_pow(a, exp)
 
+        if op in ("<<", ">>") and getattr(a, "_untyped", False):
+            ca = a.lin.try_constant(flat.p)
+            k = leaves(b)[0].lin.try_constant(flat.p)
+            if ca is not None and k is not None:
+                v = (ca << k) if op == "<<" else (ca >> k)
+                return self._untyped_const(v % flat.p)
+
+        a, b = self._unify(a, b, e.span)
+
         if isinstance(a, FieldVal) and isinstance(b, FieldVal):
+            if op in ("&", "|", "^", "<<", ">>"):
+                ca, cb = flat.const_of(a), flat.const_of(b)
+                if ca is None or cb is None:
+                    raise CompileError(
+                        f"bitwise {op} on field requires constant operands", e.span
+                    )
+                import operator as _op
+
+                fn = {"&": _op.and_, "|": _op.or_, "^": _op.xor, "<<": _op.lshift, ">>": _op.rshift}[op]
+                return flat.f_const(fn(ca, cb))
             if op == "+":
                 return flat.f_add(a, b)
             if op == "-":
@@ -773,10 +1126,17 @@ class Evaluator:
             if op == ">":
                 return flat.f_lt(b, a)
             if op == "<=":
-                return flat.b_not(flat.f_lt(b, a))
+                return flat.f_le(a, b)
             if op == ">=":
-                return flat.b_not(flat.f_lt(a, b))
+                return flat.f_le(b, a)
             raise CompileError(f"operator {op} not supported on field", e.span)
+
+        if op in ("<<", ">>") and isinstance(a, FieldVal):
+            ca = flat.const_of(a)
+            k = leaves(b)[0].lin.try_constant(flat.p)
+            if ca is None or k is None:
+                raise CompileError("field shifts require constant operands", e.span)
+            return flat.f_const((ca << k) if op == "<<" else (ca >> k))
 
         if op in ("<<", ">>") and isinstance(a, UintVal):
             k = leaves(b)[0].lin.try_constant(flat.p)
@@ -808,10 +1168,17 @@ class Evaluator:
             if op == ">":
                 return flat.u_lt(b, a)
             if op == "<=":
-                return flat.b_not(flat.u_lt(b, a))
+                return flat.u_le(a, b)
             if op == ">=":
-                return flat.b_not(flat.u_lt(a, b))
+                return flat.u_le(b, a)
             raise CompileError(f"operator {op} not supported on uints", e.span)
+
+        if op in ("<<", ">>") and isinstance(a, FieldVal):
+            ca = flat.const_of(a)
+            k = leaves(b)[0].lin.try_constant(flat.p)
+            if ca is None or k is None:
+                raise CompileError("field shifts require constant operands", e.span)
+            return flat.f_const((ca << k) if op == "<<" else (ca >> k))
 
         if op in ("<<", ">>") and isinstance(a, UintVal):
             k = leaves(b)[0].lin.try_constant(flat.p)
@@ -920,7 +1287,7 @@ class Evaluator:
                 raise _SignatureMismatch(f"return type {ret_ty} != expected {expected}")
         # execute (inline)
         env = {p.name: a for p, a in zip(fn.params, coerced)}
-        sub = _Frame(ctx, env, genv)
+        sub = _Frame(ctx, env, genv, ret_ty)
         try:
             self.exec_block(fn.body, sub)
         except _Return as r:
@@ -1055,6 +1422,47 @@ class Evaluator:
             gt = flat.b_or(gt, flat.b_and(eq, flat.b_and(ba, flat.b_not(bb))))
             eq = flat.b_and(eq, flat.b_not(flat.b_xor(ba, bb)))
         return flat.b_not(gt)
+
+
+def make_zir_solver(spec, host_ev=None):
+    """Build (or rebuild after deserialization) the witness-time closure for
+    an `asm <--` expression. The spec is picklable: untyped AST + concrete
+    types + generic bindings + the defining module's path."""
+
+    def solver_fn(inputs, field_cls):
+        from .flatten import Flattener as _Fl
+
+        ev = solver_fn._ev
+        if ev is None:
+            from .compile import fs_resolver
+
+            ev = Evaluator(field_cls, fs_resolver(), spec["curve"])
+            solver_fn._ev = ev
+        sub_ev = Evaluator(field_cls, ev.resolver, spec["curve"])
+        sub_ev.flat = _Fl(field_cls)
+        sub_ev.modules = ev.modules
+        sub_ev.witness_mode = True
+        ctx = sub_ev.load_module(spec["module_path"])
+        env = {}
+        pos = 0
+        for (n, ty, cnt) in spec["in_specs"]:
+            vals = inputs[pos : pos + cnt]
+            pos += cnt
+            env[n] = sub_ev._const_value_of_type(ty, iter(vals))
+        sub_frame = _Frame(ctx, env, dict(spec["generics"]))
+        out = sub_ev.eval_expr(spec["expr"], sub_frame, expected=spec["out_ty"])
+        out = sub_ev.coerce(out, spec["out_ty"], spec["span"])
+        res = []
+        for leaf in leaves(out):
+            c = leaf.lin.try_constant(field_cls.P)
+            if c is None:
+                raise FlattenError("asm <-- expression did not fold to a constant")
+            res.append(c)
+        return res
+
+    solver_fn._ev = host_ev
+    solver_fn.spec = spec
+    return solver_fn
 
 
 class _SignatureMismatch(Exception):

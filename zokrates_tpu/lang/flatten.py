@@ -194,6 +194,77 @@ class Flattener:
         self.constraint(QuadComb(l, r), LinComb.from_var(t), error)
         return LinComb.from_var(t)
 
+    # -- quadratic forms (reference zir lqc.rs canonicalization) -----------
+    @staticmethod
+    def _lin_ratio(a: LinComb, b: LinComb, p: int):
+        """If b == k*a (as reduced lincombs), return k, else None."""
+        ta = dict(a.terms)
+        tb = dict(b.terms)
+        if set(ta) != set(tb) or not ta:
+            return None
+        k = None
+        for v, ca in ta.items():
+            cb = tb[v]
+            ratio = cb * pow(ca, -1, p) % p
+            if k is None:
+                k = ratio
+            elif k != ratio:
+                return None
+        return k
+
+    def emit_quad_eq(self, linear: LinComb, products, rhs: LinComb, error=None):
+        """Constrain linear + sum(L_i * R_i) == rhs using as few wires as
+        possible: proportional product sides merge, one product rides the
+        constraint itself, the rest get wires."""
+        p = self.p
+        # split constants out of each product and merge proportional ones
+        norm = []
+        for L, R in products:
+            L = self.reduce_lin(L)
+            R = self.reduce_lin(R)
+            kl = dict(L.terms).get(0, 0)
+            kr = dict(R.terms).get(0, 0)
+            Lv = self.reduce_lin(L - LinComb.constant(kl))
+            Rv = self.reduce_lin(R - LinComb.constant(kr))
+            linear = self.reduce_lin(
+                linear + Rv.scale(kl) + Lv.scale(kr) + LinComb.constant(kl * kr % p)
+            )
+            if Lv.is_zero() or Rv.is_zero():
+                continue
+            merged = False
+            for i, (L0, R0) in enumerate(norm):
+                k = self._lin_ratio(L0, Lv, p)
+                if k is not None:
+                    norm[i] = (L0, self.reduce_lin(R0 + Rv.scale(k)))
+                    merged = True
+                    break
+                k = self._lin_ratio(R0, Rv, p)
+                if k is not None:
+                    norm[i] = (self.reduce_lin(L0 + Lv.scale(k)), R0)
+                    merged = True
+                    break
+            if not merged:
+                norm.append((Lv, Rv))
+        norm = [
+            (L, R)
+            for (L, R) in norm
+            if not (L.is_zero() or R.is_zero())
+        ]
+        # wires for all but the last product
+        for L, R in norm[:-1]:
+            linear = self.reduce_lin(linear + self._mul_wire(L, R))
+        target = self.reduce_lin(rhs - linear)
+        if norm:
+            L, R = norm[-1]
+            self.constraint(QuadComb(L, R), target, error)
+        else:
+            dc = target.try_constant(p)
+            if dc is not None:
+                if dc != 0:
+                    raise FlattenError(f"assertion is always false: {error or ''}")
+                return
+            self.constraint(QuadComb.from_lin(linear), rhs, error)
+
     # -- field ops ---------------------------------------------------------
     def f_add(self, a: FieldVal, b: FieldVal) -> FieldVal:
         return FieldVal(self.reduce_lin(a.lin + b.lin))
@@ -221,11 +292,12 @@ class Flattener:
             if ca is not None:
                 return self.f_const(ca * inv)
             return FieldVal(self.reduce_lin(a.lin.scale(inv)))
-        # t = a / b via Div directive, constrained b * t == a
-        t = self.new_var()
-        self.directive([a.lin, b.lin], [t], Solver("Div"))
-        self.constraint(QuadComb(b.lin, LinComb.from_var(t)), a.lin, "division")
-        return FieldVal(LinComb.from_var(t))
+        # invb = 1/b via Div directive, constrained b * invb == 1 (rejects
+        # b == 0 — reference "Inverse" error); then a * invb
+        invb = self.new_var()
+        self.directive([LinComb.one(), b.lin], [invb], Solver("Div"))
+        self.constraint(QuadComb(b.lin, LinComb.from_var(invb)), LinComb.one(), "Inverse")
+        return self.f_mul(a, FieldVal(LinComb.from_var(invb)))
 
     def f_pow(self, a: FieldVal, e: int) -> FieldVal:
         ca = self.const_of(a)
@@ -346,6 +418,68 @@ class Flattener:
         return self.reduce_lin(acc)
 
     # -- comparisons -------------------------------------------------------
+    # Ported semantics of zokrates_codegen/src/lib.rs:300-765: the sapling
+    # A.3.2.2 bitwise le-vs-constant circuit, the shifted-sub dynamic
+    # comparison at safe_width = bits-2, and the cheap `enforce` variants
+    # used by assertions.
+
+    def constant_le_conditions(
+        self, bits: List[BoolVal], c_bits: List[bool]
+    ) -> List[BoolVal]:
+        """Conditions (each must be 1) for (bits as BE number) <= c_bits.
+        ~1 constraint per '1'-run boundary; [] when c is all ones."""
+        assert len(bits) == len(c_bits)
+        if all(c_bits):
+            return []
+        n = len(bits)
+        size_unknown = self.b_const(True)
+        conditions = []
+        for i, cb in enumerate(c_bits):
+            if cb:
+                if i < n - 1:
+                    size_unknown = self.b_and(size_unknown, bits[i])
+            else:
+                # or(!size_unknown, !bits[i])
+                conditions.append(
+                    self.b_or(self.b_not(size_unknown), self.b_not(bits[i]))
+                )
+        return conditions
+
+    def _const_bits(self, c: int, width: int) -> List[bool]:
+        return [bool((c >> (width - 1 - i)) & 1) for i in range(width)]
+
+    def enforce_constant_le(self, lin: LinComb, c: int, error=None):
+        """assert lin <= c (constant): decompose to bitlen(c) bits (which
+        enforces lin < 2^bitlen) + le conditions + one sum constraint."""
+        cl = lin.try_constant(self.p)
+        if cl is not None:
+            if cl > c:
+                raise FlattenError(f"assertion is always false: {error or ''}")
+            return
+        nb = max(c.bit_length(), 1)
+        bits = self.decompose(lin, nb)
+        conds = self.constant_le_conditions(bits, self._const_bits(c, nb))
+        self._enforce_conds(conds, error)
+
+    def enforce_constant_lt(self, lin: LinComb, c: int, error=None):
+        if c % self.p == 0:
+            raise FlattenError(f"assertion is always false: {error or ''}")
+        self.enforce_constant_le(lin, (c - 1) % self.p, error)
+
+    def constant_field_le_check(self, lin: LinComb, c: int) -> BoolVal:
+        """BoolVal for lin <= c (constant), total over the full field range:
+        full-width decomposition + canonicity check vs p-1 + le conditions."""
+        cl = lin.try_constant(self.p)
+        if cl is not None:
+            return self.b_const(cl <= c)
+        w = self.F.BITS
+        bits = self.decompose(lin, w)
+        # canonicity: bits <= p - 1 (else decomposition is ambiguous)
+        canon = self.constant_le_conditions(bits, self._const_bits(self.p - 1, w))
+        self._enforce_conds(canon, "unique decomposition")
+        conds = self.constant_le_conditions(bits, self._const_bits(c, w))
+        return self._conds_value(conds)
+
     def lt_bounded(self, a_lin: LinComb, b_lin: LinComb, n: int) -> BoolVal:
         """a < b given both known < 2^n (n + 2 <= field bits).
         Cost: n+1 bool + 1 sum constraints."""
@@ -358,19 +492,62 @@ class Flattener:
         return self.b_not(bits[0])
 
     def f_lt(self, a: FieldVal, b: FieldVal) -> BoolVal:
-        """Field comparison: operands are range-checked to bits-2 bits
-        (reference restricts comparisons to the unique-decomposition range)."""
-        n = self.F.BITS - 2
+        """Field `<` (codegen lib.rs:796-833): constant cases via the
+        le-vs-constant circuit, dynamic case range-checked to bits-2."""
         ca, cb = self.const_of(a), self.const_of(b)
-        if ca is None:
-            self.decompose(a.lin, n)
-        elif ca >= (1 << n):
-            raise FlattenError(f"constant {ca} too large for comparison")
-        if cb is None:
-            self.decompose(b.lin, n)
-        elif cb >= (1 << n):
-            raise FlattenError(f"constant {cb} too large for comparison")
+        if ca is not None and cb is not None:
+            return self.b_const(ca < cb)
+        if cb is not None:
+            if cb == 0:
+                return self.b_const(False)
+            return self.constant_field_le_check(a.lin, cb - 1)
+        if ca is not None:
+            # ca < b  <=>  p-1-b <= p-1-ca - 1
+            if ca == self.p - 1:
+                return self.b_const(False)
+            neg = self.reduce_lin(LinComb.constant(self.p - 1) - b.lin)
+            return self.constant_field_le_check(neg, self.p - 1 - ca - 1)
+        n = self.F.BITS - 2
+        self.enforce_constant_lt(a.lin, 1 << n, "IncompleteDynamicRange")
+        self.enforce_constant_lt(b.lin, 1 << n, "IncompleteDynamicRange")
         return self.lt_bounded(a.lin, b.lin, n)
+
+    def f_le(self, a: FieldVal, b: FieldVal) -> BoolVal:
+        """a <= b as eq + lt (codegen le_check)."""
+        ca, cb = self.const_of(a), self.const_of(b)
+        if ca is not None and cb is not None:
+            return self.b_const(ca <= cb)
+        if cb is not None:
+            return self.constant_field_le_check(a.lin, cb)
+        if ca is not None:
+            neg = self.reduce_lin(LinComb.constant(self.p - 1) - b.lin)
+            return self.constant_field_le_check(neg, self.p - 1 - ca)
+        eq = self.f_eq(a, b)
+        lt = self.f_lt(a, b)
+        return BoolVal(self.reduce_lin(eq.lin + lt.lin))
+
+    def assert_f_lt(self, a: FieldVal, b: FieldVal, error=None):
+        """assert(a < b) with the cheap single-sum constant paths."""
+        ca, cb = self.const_of(a), self.const_of(b)
+        if cb is not None:
+            self.enforce_constant_lt(a.lin, cb, error)
+            return
+        if ca is not None:
+            neg = self.reduce_lin(LinComb.constant(self.p - 1) - b.lin)
+            self.enforce_constant_lt(neg, self.p - 1 - ca, error)
+            return
+        self.assert_true(self.f_lt(a, b), error)
+
+    def assert_f_le(self, a: FieldVal, b: FieldVal, error=None):
+        ca, cb = self.const_of(a), self.const_of(b)
+        if cb is not None:
+            self.enforce_constant_le(a.lin, cb, error)
+            return
+        if ca is not None:
+            neg = self.reduce_lin(LinComb.constant(self.p - 1) - b.lin)
+            self.enforce_constant_le(neg, self.p - 1 - ca, error)
+            return
+        self.assert_true(self.f_le(a, b), error)
 
     # -- select / mux ------------------------------------------------------
     def select(self, cond: BoolVal, a: Value, b: Value) -> Value:
@@ -441,23 +618,54 @@ class Flattener:
 
     def assert_eq(self, a: Value, b: Value, error: Optional[str] = None):
         guard = self._guard()
-        for va, vb in zip(leaves(a), leaves(b)):
+        # boolean runs get packed into field chunks and compared as sums
+        # (reference BooleanArrayComparator: 1 constraint per bits-1 bools)
+        pairs = list(zip(leaves(a), leaves(b)))
+        chunk = self.F.BITS - 1
+        i = 0
+        while i < len(pairs):
+            va, vb = pairs[i]
+            if isinstance(va, BoolVal) and isinstance(vb, BoolVal):
+                j = i
+                while (
+                    j < len(pairs)
+                    and isinstance(pairs[j][0], BoolVal)
+                    and isinstance(pairs[j][1], BoolVal)
+                ):
+                    j += 1
+                run = pairs[i:j]
+                for k in range(0, len(run), chunk):
+                    block = run[k : k + chunk]
+                    la, lb = LinComb(), LinComb()
+                    for idx, (xa, xb) in enumerate(block):
+                        w = 1 << idx
+                        la = la + xa.lin.scale(w)
+                        lb = lb + xb.lin.scale(w)
+                    self._assert_lin_eq(
+                        self.reduce_lin(la), self.reduce_lin(lb), guard, error
+                    )
+                i = j
+                continue
             la, lb = va.lin, vb.lin
             if isinstance(va, UintVal):
                 va2, vb2 = self.u_reduce(va), self.u_reduce(vb)
                 la, lb = va2.lin, vb2.lin
-            diff = self.reduce_lin(la - lb)
-            dc = diff.try_constant(self.p)
-            if guard is None:
-                if dc is not None:
-                    if dc != 0:
-                        raise FlattenError(f"assertion is always false: {error or ''}")
-                    continue
-                self.constraint(QuadComb.from_lin(la), lb, error or "assertion")
-            else:
-                if dc == 0:
-                    continue
-                self.constraint(QuadComb(guard, diff), LinComb(), error or "assertion")
+            self._assert_lin_eq(la, lb, guard, error)
+            i += 1
+
+    def _assert_lin_eq(self, la: LinComb, lb: LinComb, guard, error):
+        diff = self.reduce_lin(la - lb)
+        dc = diff.try_constant(self.p)
+        if guard is None:
+            if dc is not None:
+                if dc != 0:
+                    raise FlattenError(f"assertion is always false: {error or ''}")
+                return
+            self.constraint(QuadComb.from_lin(la), lb, error or "assertion")
+        else:
+            if dc == 0:
+                return
+            self.constraint(QuadComb(guard, diff), LinComb(), error or "assertion")
 
     # -- uints -------------------------------------------------------------
     def _u_safety_margin(self) -> int:
@@ -593,6 +801,97 @@ class Flattener:
         a, b = self.u_reduce(a), self.u_reduce(b)
         return self.is_zero(self.reduce_lin(a.lin - b.lin))
 
+    def _u_le_conds(self, a: UintVal, c: int) -> List[BoolVal]:
+        bits = self.u_bits(a)
+        return self.constant_le_conditions(bits, self._const_bits(c, a.width))
+
     def u_lt(self, a: UintVal, b: UintVal) -> BoolVal:
         a, b = self.u_reduce(a), self.u_reduce(b)
-        return self.lt_bounded(a.lin, b.lin, a.width)
+        w = a.width
+        ca, cb = self.const_of(a), self.const_of(b)
+        if ca is not None and cb is not None:
+            return self.b_const(ca < cb)
+        if cb is not None:
+            if cb == 0:
+                return self.b_const(False)
+            conds = self._u_le_conds(a, cb - 1)
+            return self._conds_value(conds)
+        if ca is not None:
+            if ca == (1 << w) - 1:
+                return self.b_const(False)
+            # ca < b <=> not (b <= ca)
+            return self.b_not(self._conds_value(self._u_le_conds(b, ca)))
+        return self.lt_bounded(a.lin, b.lin, w)
+
+    def u_le(self, a: UintVal, b: UintVal) -> BoolVal:
+        a, b = self.u_reduce(a), self.u_reduce(b)
+        w = a.width
+        ca, cb = self.const_of(a), self.const_of(b)
+        if ca is not None and cb is not None:
+            return self.b_const(ca <= cb)
+        if cb is not None:
+            return self._conds_value(self._u_le_conds(a, cb))
+        if ca is not None:
+            if ca == 0:
+                return self.b_const(True)
+            return self.b_not(self._conds_value(self._u_le_conds(b, ca - 1)))
+        eq = self.u_eq(a, b)
+        lt = self.u_lt(a, b)
+        return BoolVal(self.reduce_lin(eq.lin + lt.lin))
+
+    def _conds_value(self, conds: List[BoolVal]) -> BoolVal:
+        if not conds:
+            return self.b_const(True)
+        total = LinComb()
+        n = 0
+        for c in conds:
+            cc = self.const_of(c)
+            if cc is not None:
+                if cc == 0:
+                    return self.b_const(False)
+                continue
+            total = total + c.lin
+            n += 1
+        if n == 0:
+            return self.b_const(True)
+        if n == 1:
+            return BoolVal(self.reduce_lin(total))
+        return self.is_zero(self.reduce_lin(total - LinComb.constant(n)))
+
+    def _enforce_conds(self, conds: List[BoolVal], error=None):
+        total = LinComb()
+        n = 0
+        for c in conds:
+            cc = self.const_of(c)
+            if cc is not None:
+                if cc == 0:
+                    raise FlattenError(f"assertion is always false: {error or ''}")
+                continue
+            total = total + c.lin
+            n += 1
+        if n:
+            self.constraint(
+                QuadComb.from_lin(LinComb()),
+                self.reduce_lin(total - LinComb.constant(n)),
+                error or "range check",
+            )
+
+    def assert_u_lt(self, a: UintVal, b: UintVal, error=None):
+        a, b = self.u_reduce(a), self.u_reduce(b)
+        cb = self.const_of(b)
+        ca = self.const_of(a)
+        if cb is not None and ca is None:
+            if cb == 0:
+                raise FlattenError(f"assertion is always false: {error or ''}")
+            self._enforce_conds(self._u_le_conds(a, cb - 1), error)
+            return
+        self.assert_true(self.u_lt(a, b), error)
+
+    def assert_u_le(self, a: UintVal, b: UintVal, error=None):
+        a, b = self.u_reduce(a), self.u_reduce(b)
+        cb = self.const_of(b)
+        ca = self.const_of(a)
+        if cb is not None and ca is None:
+            self._enforce_conds(self._u_le_conds(a, cb), error)
+            return
+        self.assert_true(self.u_le(a, b), error)

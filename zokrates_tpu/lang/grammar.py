@@ -48,7 +48,8 @@ block: "{" statement* "}"
           | assert_statement ";"
           | definition_statement ";"
 
-for_statement: "for" ty NAME "in" expression ".." expression block
+for_statement: "for" ty MUT? NAME "in" expression ".." expression block
+MUT: "mut"
 return_statement: "return" expression?
 log_statement: "log" "(" STRING ("," expression)* ")"
 assert_statement: "assert" "(" expression ("," STRING)? ")"

@@ -160,13 +160,14 @@ class _Builder:
             msg = _string(t.children[1]) if len(t.children) > 1 else None
             return A.Assertion(sp, self.expr(t.children[0]), msg)
         if d == "for_statement":
+            kids = [c for c in t.children if not (isinstance(c, Token) and c.type == "MUT")]
             return A.For(
                 sp,
-                self.ty(t.children[0]),
-                str(t.children[1]),
-                self.expr(t.children[2]),
-                self.expr(t.children[3]),
-                self.block(t.children[4]),
+                self.ty(kids[0]),
+                str(kids[1]),
+                self.expr(kids[2]),
+                self.expr(kids[3]),
+                self.block(kids[4]),
             )
         if d == "log_statement":
             return A.Log(sp, _string(t.children[0]), [self.expr(c) for c in t.children[1:]])

@@ -1,0 +1,196 @@
+"""Solidity verifier export (bn128 only, like the reference solidity.rs:5-11).
+
+Generates a self-contained Groth16 verifier contract with the reference's
+external interface — `verifyTx(Proof memory proof, uint[N] memory input)
+returns (bool)` — using the EVM precompiles for bn128 add / scalar-mul /
+pairing (EIP-196/197). The template is our own implementation; only the
+ABI surface matches zokrates_proof_systems/src/scheme/groth16.rs so
+existing integrations keep working.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+from .types import VerificationKey
+
+
+def _g1(v) -> str:
+    return f"Pairing.G1Point(uint256({v[0]}), uint256({v[1]}))"
+
+
+def _g2(v) -> str:
+    # EVM pairing precompile expects Fq2 coefficients in (imaginary, real)
+    # word order within each pair
+    return (
+        "Pairing.G2Point("
+        f"[uint256({v[0][1]}), uint256({v[0][0]})], "
+        f"[uint256({v[1][1]}), uint256({v[1][0]})])"
+    )
+
+
+PAIRING_LIB = """// This file is MIT Licensed.
+pragma solidity ^0.8.0;
+
+library Pairing {
+    struct G1Point { uint X; uint Y; }
+    struct G2Point { uint[2] X; uint[2] Y; }
+
+    function P1() internal pure returns (G1Point memory) { return G1Point(1, 2); }
+
+    function negate(G1Point memory p) internal pure returns (G1Point memory) {
+        uint q = 21888242871839275222246405745257275088696311157297823662689037894645226208583;
+        if (p.X == 0 && p.Y == 0) return G1Point(0, 0);
+        return G1Point(p.X, q - (p.Y % q));
+    }
+
+    function addition(G1Point memory p1, G1Point memory p2) internal view returns (G1Point memory r) {
+        uint[4] memory input = [p1.X, p1.Y, p2.X, p2.Y];
+        bool success;
+        assembly {
+            success := staticcall(sub(gas(), 2000), 6, input, 0x80, r, 0x60)
+        }
+        require(success, "pairing-add-failed");
+    }
+
+    function scalar_mul(G1Point memory p, uint s) internal view returns (G1Point memory r) {
+        uint[3] memory input = [p.X, p.Y, s];
+        bool success;
+        assembly {
+            success := staticcall(sub(gas(), 2000), 7, input, 0x60, r, 0x60)
+        }
+        require(success, "pairing-mul-failed");
+    }
+
+    function pairing(G1Point[] memory p1, G2Point[] memory p2) internal view returns (bool) {
+        require(p1.length == p2.length, "pairing-lengths-failed");
+        uint elements = p1.length;
+        uint inputSize = elements * 6;
+        uint[] memory input = new uint[](inputSize);
+        for (uint i = 0; i < elements; i++) {
+            input[i * 6 + 0] = p1[i].X;
+            input[i * 6 + 1] = p1[i].Y;
+            input[i * 6 + 2] = p2[i].X[0];
+            input[i * 6 + 3] = p2[i].X[1];
+            input[i * 6 + 4] = p2[i].Y[0];
+            input[i * 6 + 5] = p2[i].Y[1];
+        }
+        uint[1] memory out;
+        bool success;
+        assembly {
+            success := staticcall(sub(gas(), 2000), 8, add(input, 0x20), mul(inputSize, 0x20), out, 0x20)
+        }
+        require(success, "pairing-opcode-failed");
+        return out[0] != 0;
+    }
+
+    function pairingProd4(
+        G1Point memory a1, G2Point memory a2,
+        G1Point memory b1, G2Point memory b2,
+        G1Point memory c1, G2Point memory c2,
+        G1Point memory d1, G2Point memory d2
+    ) internal view returns (bool) {
+        G1Point[] memory p1 = new G1Point[](4);
+        G2Point[] memory p2 = new G2Point[](4);
+        p1[0] = a1; p1[1] = b1; p1[2] = c1; p1[3] = d1;
+        p2[0] = a2; p2[1] = b2; p2[2] = c2; p2[3] = d2;
+        return pairing(p1, p2);
+    }
+}
+"""
+
+CONTRACT_TEMPLATE = """
+contract Verifier {{
+    using Pairing for *;
+
+    struct VerifyingKey {{
+        Pairing.G1Point alpha;
+        Pairing.G2Point beta;
+        Pairing.G2Point gamma;
+        Pairing.G2Point delta;
+        Pairing.G1Point[] gamma_abc;
+    }}
+
+    struct Proof {{
+        Pairing.G1Point a;
+        Pairing.G2Point b;
+        Pairing.G1Point c;
+    }}
+
+    function verifyingKey() internal pure returns (VerifyingKey memory vk) {{
+        vk.alpha = {alpha};
+        vk.beta = {beta};
+        vk.gamma = {gamma};
+        vk.delta = {delta};
+        vk.gamma_abc = new Pairing.G1Point[]({abc_len});
+{abc_body}
+    }}
+
+    function verify(uint[] memory input, Proof memory proof) internal view returns (uint) {{
+        uint snark_scalar_field = 21888242871839275222246405745257275088548364400416034343698204186575808495617;
+        VerifyingKey memory vk = verifyingKey();
+        require(input.length + 1 == vk.gamma_abc.length);
+        Pairing.G1Point memory vk_x = Pairing.G1Point(0, 0);
+        for (uint i = 0; i < input.length; i++) {{
+            require(input[i] < snark_scalar_field);
+            vk_x = Pairing.addition(vk_x, Pairing.scalar_mul(vk.gamma_abc[i + 1], input[i]));
+        }}
+        vk_x = Pairing.addition(vk_x, vk.gamma_abc[0]);
+        if (!Pairing.pairingProd4(
+            proof.a, proof.b,
+            Pairing.negate(vk_x), vk.gamma,
+            Pairing.negate(proof.c), vk.delta,
+            Pairing.negate(vk.alpha), vk.beta
+        )) return 1;
+        return 0;
+    }}
+
+    function verifyTx(Proof memory proof, uint[{n_inputs}] memory input) public view returns (bool r) {{
+        uint[] memory inputValues = new uint[](input.length);
+        for (uint i = 0; i < input.length; i++) {{
+            inputValues[i] = input[i];
+        }}
+        if (verify(inputValues, proof) == 0) {{
+            return true;
+        }} else {{
+            return false;
+        }}
+    }}
+}}
+"""
+
+
+def export_solidity_verifier(vk: VerificationKey) -> str:
+    if vk.curve != "bn128":
+        raise ValueError("solidity export is only supported for bn128")
+    if vk.scheme != "g16":
+        raise ValueError(f"solidity export not implemented for scheme {vk.scheme}")
+    d = vk.data
+    abc = d["gamma_abc"]
+    abc_body = "\n".join(
+        f"        vk.gamma_abc[{i}] = {_g1(pt)};" for i, pt in enumerate(abc)
+    )
+    contract = CONTRACT_TEMPLATE.format(
+        alpha=_g1(d["alpha"]),
+        beta=_g2(d["beta"]),
+        gamma=_g2(d["gamma"]),
+        delta=_g2(d["delta"]),
+        abc_len=len(abc),
+        abc_body=abc_body,
+        n_inputs=len(abc) - 1,
+    )
+    return PAIRING_LIB + contract
+
+
+def proof_to_token(proof_json: dict) -> str:
+    """ABI-token encoding of a proof for remix / manual contract calls
+    (reference to_token.rs:36-40)."""
+    pts = proof_json["proof"]
+    a = f'["{pts["a"][0]}","{pts["a"][1]}"]'
+    b = (
+        f'[["{pts["b"][0][0]}","{pts["b"][0][1]}"],'
+        f'["{pts["b"][1][0]}","{pts["b"][1][1]}"]]'
+    )
+    c = f'["{pts["c"][0]}","{pts["c"][1]}"]'
+    inputs = ",".join(f'"{v}"' for v in proof_json.get("inputs", []))
+    return f"[{a},{b},{c}],[{inputs}]"

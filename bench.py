@@ -19,12 +19,13 @@ import sys
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache_tpu")
+os.environ.setdefault("ZOKRATES_TPU_UNROLL", "4")
 
 import numpy as np
 
 BASELINE_POINTS_PER_S = 5.0e6
 N_LOG2 = 16
-WINDOW_C = 16
+WINDOW_C = 8
 
 
 def main():
@@ -34,7 +35,7 @@ def main():
     from zokrates_tpu.ec.curve import g1_group
     from zokrates_tpu.fields.limbs import ints_to_limbs, n_limbs
     from zokrates_tpu.kernels.jec import curve_ops
-    from zokrates_tpu.kernels.msm import msm_jit
+    from zokrates_tpu.kernels.msm import combine_window_sums, msm_ws_jit
 
     dev = jax.devices()[0]
     n = 1 << N_LOG2
@@ -63,7 +64,7 @@ def main():
     scalars = [int(s) for s in base_scalars]
     S = jnp.asarray(ints_to_limbs(scalars, nls))
 
-    fn = msm_jit(ops, WINDOW_C)
+    fn = msm_ws_jit(ops, WINDOW_C)
     # warmup / compile
     res = fn(Px, Py, S)
     jax.block_until_ready(res)
@@ -73,6 +74,8 @@ def main():
     for _ in range(iters):
         res = fn(Px, Py, S)
         jax.block_until_ready(res)
+        affs = ops.to_affine_ints(res)
+        _ = combine_window_sums(grp, affs, WINDOW_C)
     dt = (time.perf_counter() - t0) / iters
 
     pts_per_s = n / dt

@@ -267,6 +267,72 @@ def cmd_generate_smtlib2(args):
     print(f"SMT-LIB2 formula written to '{args.output}'")
 
 
+
+
+def cmd_mpc_init(args):
+    from .ir.r1cs import r1cs_from_prog
+    from .schemes import mpc
+
+    prog = _load_prog(args.input)
+    params = mpc.init(r1cs_from_prog(prog))
+    with open(args.output, "wb") as f:
+        pickle.dump(params, f)
+    print(f"Initial parameters written to '{args.output}'")
+
+
+def cmd_mpc_contribute(args):
+    from .schemes import mpc
+
+    with open(args.input, "rb") as f:
+        params = pickle.load(f)
+    h = mpc.contribute(params, entropy=args.entropy)
+    with open(args.output, "wb") as f:
+        pickle.dump(params, f)
+    print(f"Contribution hash: 0x{h.hex()}")
+    print(f"Parameters written to '{args.output}'")
+
+
+def cmd_mpc_beacon(args):
+    from .schemes import mpc
+
+    with open(args.input, "rb") as f:
+        params = pickle.load(f)
+    h = mpc.beacon(params, args.beacon_hash, args.iterations)
+    with open(args.output, "wb") as f:
+        pickle.dump(params, f)
+    print(f"Beacon contribution hash: 0x{h.hex()}")
+    print(f"Parameters written to '{args.output}'")
+
+
+def cmd_mpc_verify(args):
+    from .ir.r1cs import r1cs_from_prog
+    from .schemes import mpc
+
+    with open(args.input, "rb") as f:
+        params = pickle.load(f)
+    r1cs = r1cs_from_prog(_load_prog(args.circuit))
+    if mpc.verify(params, r1cs):
+        print(f"Transcript contains {len(params.contributions)} contribution(s):")
+        for i, c in enumerate(params.contributions):
+            print(f"  {i}: 0x{c.transcript.hex()}")
+        print("Contributions verified")
+    else:
+        print("Contribution verification failed")
+        sys.exit(1)
+
+
+def cmd_mpc_export(args):
+    from .schemes import mpc
+
+    with open(args.input, "rb") as f:
+        params = pickle.load(f)
+    pk, vk = mpc.export_keys(params)
+    with open(args.proving_key_path, "wb") as f:
+        pickle.dump(pk, f)
+    with open(args.verification_key_path, "w") as f:
+        json.dump(vk.to_json(), f, indent=2)
+    print(f"Keypair exported to '{args.proving_key_path}', '{args.verification_key_path}'")
+
 def _todo(feature):
     def run(args):
         _err(f"{feature} is not available yet in this build")
@@ -365,9 +431,30 @@ def make_parser():
     c.add_argument("-o", "--output", default="out.smt2")
     c.set_defaults(fn=cmd_generate_smtlib2)
 
-    for name in ("init", "contribute", "beacon", "verify", "export"):
-        c = sub.add_parser(f"mpc-{name}", help=f"MPC ceremony: {name}")
-        c.set_defaults(fn=_todo(f"mpc {name}"))
+    c = sub.add_parser("mpc-init", help="MPC ceremony: initialize parameters")
+    c.add_argument("-i", "--input", default="out")
+    c.add_argument("-o", "--output", default="mpc.params")
+    c.set_defaults(fn=cmd_mpc_init)
+    c = sub.add_parser("mpc-contribute", help="MPC ceremony: contribute randomness")
+    c.add_argument("-i", "--input", default="mpc.params")
+    c.add_argument("-o", "--output", default="mpc.params")
+    c.add_argument("-e", "--entropy", default=None)
+    c.set_defaults(fn=cmd_mpc_contribute)
+    c = sub.add_parser("mpc-beacon", help="MPC ceremony: apply a random beacon")
+    c.add_argument("-i", "--input", default="mpc.params")
+    c.add_argument("-o", "--output", default="mpc.params")
+    c.add_argument("-h2", "--hash", dest="beacon_hash", required=True)
+    c.add_argument("-n", "--iterations", type=int, default=10)
+    c.set_defaults(fn=cmd_mpc_beacon)
+    c = sub.add_parser("mpc-verify", help="MPC ceremony: verify the transcript")
+    c.add_argument("-i", "--input", default="mpc.params")
+    c.add_argument("-c", "--circuit", default="out")
+    c.set_defaults(fn=cmd_mpc_verify)
+    c = sub.add_parser("mpc-export", help="MPC ceremony: export final keypair")
+    c.add_argument("-i", "--input", default="mpc.params")
+    c.add_argument("-p", "--proving-key-path", default="proving.key")
+    c.add_argument("-v", "--verification-key-path", default="verification.key")
+    c.set_defaults(fn=cmd_mpc_export)
     for name in ("setup", "prove", "verify", "compress"):
         c = sub.add_parser(f"nova-{name}", help=f"Nova IVC: {name}")
         c.set_defaults(fn=_todo(f"nova {name}"))

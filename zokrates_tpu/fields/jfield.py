@@ -21,6 +21,7 @@ pjit/shard_map over the batch axis.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from functools import partial
 from typing import Tuple
@@ -34,6 +35,13 @@ from .limbs import LIMB_BITS, LIMB_MASK, int_to_limbs, ints_to_limbs, limbs_to_i
 _U32 = jnp.uint32
 _MASK = np.uint32(LIMB_MASK)
 _B = np.uint32(1 << LIMB_BITS)
+
+# Unroll factor for the limb-axis scans. 1 keeps XLA graphs tiny (fast
+# compile — right for CPU tests and cold TPU sessions); higher values
+# trade compile time for much lower While-loop overhead on TPU (each scan
+# iteration costs ~1-2us of loop overhead, and a Montgomery mul runs nl of
+# them). bench.py sets ZOKRATES_TPU_UNROLL=16.
+_UNROLL = max(1, int(os.environ.get("ZOKRATES_TPU_UNROLL", "1")))
 
 
 @dataclass(frozen=True)
@@ -94,7 +102,7 @@ def _carry_sweep(t: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         return s >> LIMB_BITS, s & _MASK
 
     carry0 = jnp.zeros(t.shape[:-1], dtype=_U32)
-    carry, cols = jax.lax.scan(body, carry0, tw)
+    carry, cols = jax.lax.scan(body, carry0, tw, unroll=_UNROLL)
     return jnp.moveaxis(cols, 0, -1), carry
 
 
@@ -111,7 +119,7 @@ def _borrow_sub(a: jnp.ndarray, b: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarra
         return jnp.where(d >> LIMB_BITS == 0, np.uint32(1), np.uint32(0)), d & _MASK
 
     borrow0 = jnp.zeros(a.shape[:-1], dtype=_U32)
-    borrow, cols = jax.lax.scan(body, borrow0, (aw, bw))
+    borrow, cols = jax.lax.scan(body, borrow0, (aw, bw), unroll=_UNROLL)
     return jnp.moveaxis(cols, 0, -1), borrow
 
 
@@ -176,7 +184,7 @@ def make_ops(p: int):
 
         t0 = jnp.zeros(shape + (nl + 1,), dtype=_U32)
         a_words = jnp.moveaxis(a, -1, 0)  # (nl, ...)
-        t, _ = jax.lax.scan(body, t0, a_words)
+        t, _ = jax.lax.scan(body, t0, a_words, unroll=_UNROLL)
         res, hi = _carry_sweep(t[..., :nl])
         hi = hi + t[..., nl]
         return _cond_sub_p(res, hi)

@@ -172,11 +172,14 @@ def window_sum(ops: CurveOps, digits, Px, Py, n_buckets: int) -> PointBatch:
     return _masked_halving_total(ops, suff)
 
 
-def _pick_chunks(n: int) -> int:
-    """Data-parallel width: keep the sequential fold >= 16 steps, cap width."""
-    best = 1
+def _pick_chunks(n: int, n_buckets: int) -> int:
+    """Data-parallel width: keep the sequential fold >= 16 steps, cap the
+    width so the per-chunk bucket tables fit HBM (chunks * n_buckets point
+    slots; 2^22 slots ~ 0.8 GB at 16 limbs)."""
+    mem_cap = max(1, (1 << 22) // n_buckets)
+    cap = min(8192, mem_cap)
     c = 1
-    while c * 16 <= n and c < 8192:
+    while c * 16 <= n and c < cap:
         c *= 2
     return c
 
@@ -202,7 +205,7 @@ def msm(
     n_windows = digits.shape[0]
     n_buckets = 1 << c
 
-    chunks = chunks or _pick_chunks(N)
+    chunks = chunks or _pick_chunks(N, n_buckets)
     chunk_len = -(-N // chunks)
     pad = chunks * chunk_len - N
     if pad:
@@ -265,3 +268,190 @@ def msm_host(ops: CurveOps, points, scalar_ints, c: int = 8):
     if aff is None:
         return PointG1(grp, None, None)
     return PointG1(grp, aff[0], aff[1])
+
+
+# ---------------------------------------------------------------------------
+# Batched-window MSM: all Pippenger windows ride one accumulation loop, and
+# the final window combine (a few hundred inherently-sequential doublings)
+# happens on the host where it costs microseconds. This keeps the number of
+# sequential device steps at ~chunk_len + log2(chunks) + c instead of
+# W * (that), which matters because each device step of narrow EC math is
+# latency- not throughput-bound.
+# ---------------------------------------------------------------------------
+
+
+def msm_window_sums(
+    ops: CurveOps,
+    Px: jnp.ndarray,
+    Py: jnp.ndarray,
+    scalars: jnp.ndarray,
+    c: int = 8,
+    chunks: Optional[int] = None,
+) -> PointBatch:
+    """Per-window Pippenger sums: returns (W, ...) Jacobian points, window 0
+    least significant.
+
+    Layout note: the (window, chunk) pair is flattened into one leading axis
+    (chunk-major) so the bucket scatter stays 2-D — the multi-axis batched
+    scatter form compiles pathologically slowly on the TPU toolchain.
+    """
+    N = Px.shape[0]
+    digits = _digit_matrix(scalars, c)  # (W, N)
+    W = digits.shape[0]
+    n_buckets = 1 << c
+
+    chunks = chunks or _pick_chunks(N, n_buckets * W)
+    chunk_len = -(-N // chunks)
+    pad = chunks * chunk_len - N
+    if pad:
+        digits = jnp.pad(digits, ((0, 0), (0, pad)))
+        padp = [(0, pad)] + [(0, 0)] * (Px.ndim - 1)
+        Px = jnp.pad(Px, padp, mode="edge")
+        Py = jnp.pad(Py, padp, mode="edge")
+
+    # (W, chunks, chunk_len) -> chunk-major flat rows (chunks*W, chunk_len)
+    digits = jnp.moveaxis(digits.reshape(W, chunks, chunk_len), 0, 1).reshape(
+        chunks * W, chunk_len
+    )
+    Px = Px.reshape((chunks, chunk_len) + Px.shape[1:])
+    Py = Py.reshape((chunks, chunk_len) + Py.shape[1:])
+    coord_shape = Px.shape[2:]
+
+    R = chunks * W
+    buckets = ops.infinity((R, n_buckets))
+    rows = jnp.arange(R)
+
+    def body(t, bk):
+        bX, bY, bZ = bk
+        d = digits[:, t]
+        qx = jnp.broadcast_to(
+            Px[:, t][:, None], (chunks, W) + coord_shape
+        ).reshape((R,) + coord_shape)
+        qy = jnp.broadcast_to(
+            Py[:, t][:, None], (chunks, W) + coord_shape
+        ).reshape((R,) + coord_shape)
+        cur = (bX[rows, d], bY[rows, d], bZ[rows, d])
+        new = ops.mixed_add(cur, qx, qy)
+        return (
+            bX.at[rows, d].set(new[0]),
+            bY.at[rows, d].set(new[1]),
+            bZ.at[rows, d].set(new[2]),
+        )
+
+    buckets = jax.lax.fori_loop(0, chunk_len, body, buckets)
+
+    # fold the chunk axis: (chunks, W, B) -> (W, B)
+    bX = buckets[0].reshape((chunks, W, n_buckets) + coord_shape)
+    bY = buckets[1].reshape((chunks, W, n_buckets) + coord_shape)
+    bZ = buckets[2].reshape((chunks, W, n_buckets) + coord_shape)
+    levels = max(1, (chunks - 1).bit_length())
+    assert chunks == (1 << levels) or chunks == 1
+
+    def fold(l, bk):
+        X, Y, Z = bk
+        shift = chunks >> (l + 1)
+        S = ops.add(
+            (X, Y, Z),
+            (
+                jnp.roll(X, -shift, axis=0),
+                jnp.roll(Y, -shift, axis=0),
+                jnp.roll(Z, -shift, axis=0),
+            ),
+        )
+        idx = jax.lax.broadcasted_iota(jnp.int32, (chunks, 1, 1), 0)
+        keep = idx < shift
+        return (
+            jnp.where(_expand(keep, S[0].ndim), S[0], X),
+            jnp.where(_expand(keep, S[1].ndim), S[1], Y),
+            jnp.where(_expand(keep, S[2].ndim), S[2], Z),
+        )
+
+    if chunks > 1:
+        bX, bY, bZ = jax.lax.fori_loop(0, levels, fold, (bX, bY, bZ))
+    bX, bY, bZ = bX[0], bY[0], bZ[0]  # (W, B)
+
+    # weighted bucket reduce per window: suffix sums over buckets 1..B-1
+    tX, tY, tZ = bX[:, 1:], bY[:, 1:], bZ[:, 1:]
+    nb = n_buckets - 1
+    slevels = max(1, (nb - 1).bit_length())
+
+    def suffix(l, bk):
+        X, Y, Z = bk
+        shift = 1 << l
+        S = ops.add(
+            (X, Y, Z),
+            (
+                jnp.roll(X, -shift, axis=1),
+                jnp.roll(Y, -shift, axis=1),
+                jnp.roll(Z, -shift, axis=1),
+            ),
+        )
+        idx = jax.lax.broadcasted_iota(jnp.int32, (1, nb, 1), 1)
+        valid = idx + shift < nb
+        return (
+            jnp.where(_expand(valid, S[0].ndim), S[0], X),
+            jnp.where(_expand(valid, S[1].ndim), S[1], Y),
+            jnp.where(_expand(valid, S[2].ndim), S[2], Z),
+        )
+
+    tX, tY, tZ = jax.lax.fori_loop(0, slevels, suffix, (tX, tY, tZ))
+
+    # total of the suffix sums per window: pad the bucket axis to a power of
+    # two with infinity so the halving reduce never wraps
+    np2 = 1 << slevels
+    if np2 != nb:
+        inf = ops.infinity((W, np2 - nb))
+        tX = jnp.concatenate([tX, inf[0]], axis=1)
+        tY = jnp.concatenate([tY, inf[1]], axis=1)
+        tZ = jnp.concatenate([tZ, inf[2]], axis=1)
+
+    def halve(l, bk):
+        X, Y, Z = bk
+        shift = np2 >> (l + 1)
+        S = ops.add(
+            (X, Y, Z),
+            (
+                jnp.roll(X, -shift, axis=1),
+                jnp.roll(Y, -shift, axis=1),
+                jnp.roll(Z, -shift, axis=1),
+            ),
+        )
+        idx = jax.lax.broadcasted_iota(jnp.int32, (1, np2, 1), 1)
+        keep = idx < shift
+        return (
+            jnp.where(_expand(keep, S[0].ndim), S[0], X),
+            jnp.where(_expand(keep, S[1].ndim), S[1], Y),
+            jnp.where(_expand(keep, S[2].ndim), S[2], Z),
+        )
+
+    tX, tY, tZ = jax.lax.fori_loop(0, slevels, halve, (tX, tY, tZ))
+    return (tX[:, 0], tY[:, 0], tZ[:, 0])  # (W, ...)
+
+
+def _expand(mask, ndim):
+    while mask.ndim < ndim:
+        mask = mask[..., None]
+    return mask
+
+
+def combine_window_sums(grp, window_points, c: int):
+    """Host combine: sum_w 2^(c*w) * P_w over decoded affine window sums."""
+    from ..ec.curve import PointG1
+
+    acc = grp.zero()
+    for aff in reversed(window_points):
+        for _ in range(c):
+            acc = acc + acc
+        if aff is not None:
+            acc = acc + PointG1(grp, aff[0], aff[1])
+    return acc
+
+
+_MSM_WS_JIT = {}
+
+
+def msm_ws_jit(ops: CurveOps, c: int):
+    key = (ops.key, c)
+    if key not in _MSM_WS_JIT:
+        _MSM_WS_JIT[key] = jax.jit(partial(msm_window_sums, ops, c=c))
+    return _MSM_WS_JIT[key]

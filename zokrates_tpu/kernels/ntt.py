@@ -118,6 +118,12 @@ class Domain:
     def _coset_powers_inv(self, g: int):
         return self._coset_powers(pow(g, -1, self.p))
 
+    def warm_coset(self, g: int):
+        """Populate the coset-power caches OUTSIDE any jit trace (lru_cache
+        + jit tracing = leaked tracers otherwise)."""
+        self._coset_powers(g)
+        self._coset_powers_inv(g)
+
     def coset_fft(self, coeffs: jnp.ndarray, g: int) -> jnp.ndarray:
         """Evaluate on the coset g * <omega>."""
         f = self.ops

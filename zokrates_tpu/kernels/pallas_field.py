@@ -1,0 +1,614 @@
+"""Pallas TPU kernels for prime-field and EC arithmetic (limb-major layout).
+
+Why this exists: the XLA path builds EC adds out of ~2k small HLO ops whose
+per-op dispatch/loop overhead dominates on the axon backend (measured
+~1.3ms per EC-add step regardless of batch width). Here the entire mixed
+Jacobian addition — ~13 Montgomery multiplications plus the modular
+add/sub chains — runs inside ONE Mosaic kernel over a (nl, B) block:
+limbs on the sublane axis, points on the 128-wide lane axis, everything
+unrolled (no While loops at all).
+
+Layout contract: coordinates are (nl, N) uint32 — "limb-major", the
+transpose of the jfield layout — so a block (nl, 256) tiles the VPU
+exactly ((16, 256) = 2 x 2 native (8,128) tiles).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..fields.jfield import field_spec
+from ..fields.limbs import LIMB_BITS
+
+_MASK = np.uint32((1 << LIMB_BITS) - 1)
+_B16 = np.uint32(1 << LIMB_BITS)
+
+
+def _row(x, i):
+    return x[i : i + 1]  # keep 2-D (1, B)
+
+
+class _F:
+    """Field helpers over (nl, B) blocks, specialized per modulus.
+
+    All methods are pure jnp and unrolled — usable inside a Pallas kernel.
+    """
+
+    def __init__(self, p: int):
+        spec = field_spec(p)
+        self.nl = spec.nl
+        self.n0inv = np.uint32(spec.n0inv)
+        self.p_rows = [np.uint32(v) for v in spec.p_limbs]  # python scalars
+        self.r_rows = [np.uint32(v) for v in spec.r_limbs]
+
+    # -- normalization ----------------------------------------------------
+    def carry_sweep(self, rows):
+        """rows: list of nl (1,B) uint32 columns (< 2^32) -> normalized
+        rows + carry (1,B)."""
+        out = []
+        carry = jnp.zeros_like(rows[0])
+        for r in rows:
+            s = r + carry
+            out.append(s & _MASK)
+            carry = s >> LIMB_BITS
+        return out, carry
+
+    def cond_sub_p(self, rows, hi):
+        """rows (< 2p with hi overflow bit) -> rows mod p."""
+        diff = []
+        borrow = jnp.zeros_like(rows[0])
+        for i in range(self.nl):
+            d = (rows[i] + _B16) - self.p_rows[i] - borrow
+            diff.append(d & _MASK)
+            borrow = jnp.where((d >> LIMB_BITS) == 0, np.uint32(1), np.uint32(0))
+        use = jnp.logical_or(hi > 0, borrow == 0)
+        return [jnp.where(use, d, r) for d, r in zip(diff, rows)]
+
+    # -- ring ops ----------------------------------------------------------
+    def add(self, a, b):
+        rows = [x + y for x, y in zip(a, b)]
+        rows, carry = self.carry_sweep(rows)
+        return self.cond_sub_p(rows, carry)
+
+    def neg(self, a):
+        is_zero = a[0] == 0
+        for r in a[1:]:
+            is_zero = jnp.logical_and(is_zero, r == 0)
+        out = []
+        borrow = jnp.zeros_like(a[0])
+        for i in range(self.nl):
+            d = (jnp.full_like(a[i], self.p_rows[i]) + _B16) - a[i] - borrow
+            out.append(d & _MASK)
+            borrow = jnp.where((d >> LIMB_BITS) == 0, np.uint32(1), np.uint32(0))
+        return [jnp.where(is_zero, x, o) for x, o in zip(a, out)]
+
+    def sub(self, a, b):
+        return self.add(a, self.neg(b))
+
+    def mul(self, a, b):
+        """Unrolled CIOS Montgomery product, vectorized over the limb axis:
+        ~16 tensor instructions per word instead of ~64 row ops (kernel
+        size directly bounds Mosaic compile time)."""
+        nl = self.nl
+        B = jnp.concatenate(b, axis=0)                  # (nl, lanes)
+        lanes = B.shape[1]
+        p_col = self.p_col(lanes)
+        zrow = jnp.zeros((1, lanes), jnp.uint32)
+        t = jnp.zeros((nl + 1, lanes), jnp.uint32)
+        for i in range(nl):
+            prod = a[i] * B                             # (nl, lanes)
+            lo = jnp.concatenate([prod & _MASK, zrow], axis=0)
+            hi = jnp.concatenate([zrow, prod >> LIMB_BITS], axis=0)
+            t = t + lo + hi
+            m = (t[0:1] * self.n0inv) & _MASK
+            prod2 = m * p_col
+            lo2 = jnp.concatenate([prod2 & _MASK, zrow], axis=0)
+            hi2 = jnp.concatenate([zrow, prod2 >> LIMB_BITS], axis=0)
+            t = t + lo2 + hi2
+            carry = t[0:1] >> LIMB_BITS
+            t = jnp.concatenate([t[1:2] + carry, t[2:], zrow], axis=0)
+        rows, carry = self.carry_sweep([t[i : i + 1] for i in range(nl)])
+        return self.cond_sub_p(rows, carry + t[nl : nl + 1])
+
+    def prep(self, lanes):
+        """Build in-kernel constant tensors once per kernel body (Pallas
+        kernels may not capture array constants; jnp.full from python
+        scalars is allowed)."""
+        self._p_col = jnp.concatenate(
+            [jnp.full((1, lanes), v, jnp.uint32) for v in self.p_rows], axis=0
+        )
+
+    def p_col(self, lanes):
+        return self._p_col
+
+    def select(self, cond, a, b):
+        return [jnp.where(cond, x, y) for x, y in zip(a, b)]
+
+    def is_zero(self, a):
+        z = a[0] == 0
+        for r in a[1:]:
+            z = jnp.logical_and(z, r == 0)
+        return z
+
+    def one_mont(self, like):
+        return [jnp.full_like(like, v) for v in self.r_rows]
+
+    def zero(self, like):
+        return [jnp.zeros_like(like) for _ in range(self.nl)]
+
+
+def _split(ref, nl):
+    """(nl, B) ref/array -> list of nl (B,)-shaped rows (kept 2D as (1,B))."""
+    return [ref[i : i + 1] for i in range(nl)]
+
+
+def _join(rows):
+    return jnp.concatenate(rows, axis=0)
+
+
+def mixed_add_kernel_factory(p: int):
+    """Kernel: (X, Y, Z, Qx, Qy) blocks (nl, B) -> new (X, Y, Z).
+
+    Complete mixed Jacobian addition (same formulas as kernels/jec.py,
+    including the double / cancel / infinity edge cases)."""
+    F = _F(p)
+    nl = F.nl
+
+    def kernel(x_ref, y_ref, z_ref, qx_ref, qy_ref, ox_ref, oy_ref, oz_ref):
+        F.prep(x_ref.shape[1])
+        X1 = _split(x_ref[:], nl)
+        Y1 = _split(y_ref[:], nl)
+        Z1 = _split(z_ref[:], nl)
+        Qx = _split(qx_ref[:], nl)
+        Qy = _split(qy_ref[:], nl)
+
+        p_inf = F.is_zero(Z1)
+
+        Z1Z1 = F.mul(Z1, Z1)
+        U2 = F.mul(Qx, Z1Z1)
+        S2 = F.mul(F.mul(Qy, Z1), Z1Z1)
+        H = F.sub(U2, X1)
+        R = F.sub(S2, Y1)
+
+        same_x = F.is_zero(H)
+        same_y = F.is_zero(R)
+        is_double = jnp.logical_and(same_x, same_y)
+        is_cancel = jnp.logical_and(same_x, jnp.logical_not(same_y))
+
+        H2 = F.add(H, H)
+        I = F.mul(H2, H2)
+        J = F.mul(H, I)
+        R2 = F.add(R, R)
+        V = F.mul(X1, I)
+        R2sq = F.mul(R2, R2)
+        X3 = F.sub(F.sub(R2sq, J), F.add(V, V))
+        Y1J = F.mul(Y1, J)
+        Y3 = F.sub(F.mul(R2, F.sub(V, X3)), F.add(Y1J, Y1J))
+        Z3 = F.mul(F.add(Z1, Z1), H)
+
+        # doubling branch (dbl-2009-l)
+        A = F.mul(X1, X1)
+        Bv = F.mul(Y1, Y1)
+        C = F.mul(Bv, Bv)
+        t = F.add(X1, Bv)
+        D = F.sub(F.sub(F.mul(t, t), A), C)
+        D = F.add(D, D)
+        E = F.add(F.add(A, A), A)
+        Fq = F.mul(E, E)
+        dX = F.sub(Fq, F.add(D, D))
+        C8 = F.add(C, C)
+        C8 = F.add(C8, C8)
+        C8 = F.add(C8, C8)
+        dY = F.sub(F.mul(E, F.sub(D, dX)), C8)
+        YZ = F.mul(Y1, Z1)
+        dZ = F.add(YZ, YZ)
+
+        X3 = F.select(is_double, dX, X3)
+        Y3 = F.select(is_double, dY, Y3)
+        Z3 = F.select(is_double, dZ, Z3)
+        Z3 = F.select(is_cancel, F.zero(Z3[0]), Z3)
+        one = F.one_mont(Z3[0])
+        X3 = F.select(p_inf, Qx, X3)
+        Y3 = F.select(p_inf, Qy, Y3)
+        Z3 = F.select(p_inf, one, Z3)
+
+        ox_ref[:] = _join(X3)
+        oy_ref[:] = _join(Y3)
+        oz_ref[:] = _join(Z3)
+
+    return kernel
+
+
+_KERNEL_CACHE = {}
+
+
+def mixed_add_lm(p: int, X, Y, Z, Qx, Qy, block: int = 256, interpret: bool = False):
+    """Mixed add over limb-major coords (nl, N); N must be a multiple of
+    `block`. Returns new (X, Y, Z)."""
+    nl = field_spec(p).nl
+    N = X.shape[1]
+    assert N % block == 0, f"N={N} not a multiple of block={block}"
+    key = (p, N, block, interpret)
+    if key not in _KERNEL_CACHE:
+        kernel = mixed_add_kernel_factory(p)
+        grid = (N // block,)
+        spec = pl.BlockSpec((nl, block), lambda i: (0, i), memory_space=pltpu.VMEM)
+        _KERNEL_CACHE[key] = pl.pallas_call(
+            kernel,
+            out_shape=[jax.ShapeDtypeStruct((nl, N), jnp.uint32)] * 3,
+            grid=grid,
+            in_specs=[spec] * 5,
+            out_specs=[spec] * 3,
+            interpret=interpret,
+        )
+    out = _KERNEL_CACHE[key](X, Y, Z, Qx, Qy)
+    return tuple(out)
+
+
+# ---------------------------------------------------------------------------
+# Full bucket-accumulation kernel: the entire Pippenger inner loop for one
+# window batch runs inside a single Mosaic kernel. Buckets live in VMEM
+# scratch; the per-point bucket select/update uses one-hot masks over the
+# (small) bucket count, which is why this kernel fixes c = 4 (16 buckets —
+# bucket 0 unused/dropped, tables fit VMEM at block = 256 lanes).
+# ---------------------------------------------------------------------------
+
+
+def accumulate_kernel_factory(p: int, n_buckets: int, chunk_len: int):
+    F = _F(p)
+    nl = F.nl
+
+    def kernel(d_ref, qx_ref, qy_ref, bx_ref, by_ref, bz_ref, scratch):
+        F.prep(d_ref.shape[1])
+        # scratch: (n_buckets, 3, nl, block) VMEM bucket tables
+        # init: X=1,Y=1,Z=0 (Montgomery one for X/Y is irrelevant; Z=0 marks inf)
+        one = jnp.concatenate(
+            [jnp.full((1, d_ref.shape[1]), v, jnp.uint32) for v in F.r_rows], axis=0
+        )
+        for b in range(n_buckets):
+            scratch[b, 0] = one
+            scratch[b, 1] = one
+            scratch[b, 2] = jnp.zeros_like(one)
+
+        # unrolled time loop (chunk_len is small by construction)
+        for t in range(chunk_len):
+            d = d_ref[t : t + 1]          # (1, block)
+            Qx = [qx_ref[t * nl + i : t * nl + i + 1] for i in range(nl)]
+            Qy = [qy_ref[t * nl + i : t * nl + i + 1] for i in range(nl)]
+
+            # gather current bucket value via one-hot select
+            curX = [jnp.zeros_like(d) for _ in range(nl)]
+            curY = [jnp.zeros_like(d) for _ in range(nl)]
+            curZ = [jnp.zeros_like(d) for _ in range(nl)]
+            for b in range(1, n_buckets):
+                hit = d == np.uint32(b)
+                bx = scratch[b, 0]
+                by = scratch[b, 1]
+                bz = scratch[b, 2]
+                for i in range(nl):
+                    curX[i] = jnp.where(hit, bx[i : i + 1], curX[i])
+                    curY[i] = jnp.where(hit, by[i : i + 1], curY[i])
+                    curZ[i] = jnp.where(hit, bz[i : i + 1], curZ[i])
+
+            # mixed add cur + Q  (same formula set as mixed_add_kernel)
+            X1, Y1, Z1 = curX, curY, curZ
+            p_inf = F.is_zero(Z1)
+            Z1Z1 = F.mul(Z1, Z1)
+            U2 = F.mul(Qx, Z1Z1)
+            S2 = F.mul(F.mul(Qy, Z1), Z1Z1)
+            H = F.sub(U2, X1)
+            R = F.sub(S2, Y1)
+            same_x = F.is_zero(H)
+            same_y = F.is_zero(R)
+            is_double = jnp.logical_and(same_x, same_y)
+            is_cancel = jnp.logical_and(same_x, jnp.logical_not(same_y))
+            H2 = F.add(H, H)
+            I = F.mul(H2, H2)
+            J = F.mul(H, I)
+            R2 = F.add(R, R)
+            V = F.mul(X1, I)
+            R2sq = F.mul(R2, R2)
+            X3 = F.sub(F.sub(R2sq, J), F.add(V, V))
+            Y1J = F.mul(Y1, J)
+            Y3 = F.sub(F.mul(R2, F.sub(V, X3)), F.add(Y1J, Y1J))
+            Z3 = F.mul(F.add(Z1, Z1), H)
+            A = F.mul(X1, X1)
+            Bv = F.mul(Y1, Y1)
+            C = F.mul(Bv, Bv)
+            tt = F.add(X1, Bv)
+            D = F.sub(F.sub(F.mul(tt, tt), A), C)
+            D = F.add(D, D)
+            E = F.add(F.add(A, A), A)
+            Fq = F.mul(E, E)
+            dX = F.sub(Fq, F.add(D, D))
+            C8 = F.add(C, C)
+            C8 = F.add(C8, C8)
+            C8 = F.add(C8, C8)
+            dY = F.sub(F.mul(E, F.sub(D, dX)), C8)
+            YZ = F.mul(Y1, Z1)
+            dZ = F.add(YZ, YZ)
+            X3 = F.select(is_double, dX, X3)
+            Y3 = F.select(is_double, dY, Y3)
+            Z3 = F.select(is_double, dZ, Z3)
+            Z3 = F.select(is_cancel, F.zero(Z3[0]), Z3)
+            one_rows = F.one_mont(Z3[0])
+            X3 = F.select(p_inf, Qx, X3)
+            Y3 = F.select(p_inf, Qy, Y3)
+            Z3 = F.select(p_inf, one_rows, Z3)
+
+            nX = _join(X3)
+            nY = _join(Y3)
+            nZ = _join(Z3)
+            # scatter back via one-hot
+            for b in range(1, n_buckets):
+                hit = d == np.uint32(b)
+                scratch[b, 0] = jnp.where(hit, nX, scratch[b, 0])
+                scratch[b, 1] = jnp.where(hit, nY, scratch[b, 1])
+                scratch[b, 2] = jnp.where(hit, nZ, scratch[b, 2])
+
+        for b in range(n_buckets):
+            bx_ref[b] = scratch[b, 0]
+            by_ref[b] = scratch[b, 1]
+            bz_ref[b] = scratch[b, 2]
+
+    return kernel
+
+
+_ACC_CACHE = {}
+
+
+def accumulate_lm(
+    p: int,
+    digits,   # (chunk_len, R) uint32
+    Qx,       # (chunk_len * nl, R)  — limb rows stacked per step
+    Qy,
+    n_buckets: int = 16,
+    block: int = 256,
+    interpret: bool = False,
+):
+    """Bucket accumulation over limb-major points. Returns bucket tables
+    (n_buckets, nl, R) per coordinate."""
+    nl = field_spec(p).nl
+    chunk_len, R = digits.shape
+    assert R % block == 0
+    key = (p, n_buckets, chunk_len, R, block, interpret)
+    if key not in _ACC_CACHE:
+        kernel = accumulate_kernel_factory(p, n_buckets, chunk_len)
+        grid = (R // block,)
+        d_spec = pl.BlockSpec((chunk_len, block), lambda i: (0, i), memory_space=pltpu.VMEM)
+        q_spec = pl.BlockSpec(
+            (chunk_len * nl, block), lambda i: (0, i), memory_space=pltpu.VMEM
+        )
+        out_spec = pl.BlockSpec(
+            (n_buckets, nl, block), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+        )
+        _ACC_CACHE[key] = pl.pallas_call(
+            kernel,
+            out_shape=[jax.ShapeDtypeStruct((n_buckets, nl, R), jnp.uint32)] * 3,
+            grid=grid,
+            in_specs=[d_spec, q_spec, q_spec],
+            out_specs=[out_spec] * 3,
+            scratch_shapes=[pltpu.VMEM((n_buckets, 3, nl, block), jnp.uint32)],
+            interpret=interpret,
+        )
+    return tuple(_ACC_CACHE[key](digits, Qx, Qy))
+
+
+# ---------------------------------------------------------------------------
+# Whole-MSM Pallas kernel. One pallas_call runs the entire Pippenger core:
+#
+#   grid = (T,) time steps; lanes = W windows x CH chunks (block columns);
+#   scratch holds per-lane bucket tables (persisting across the sequential
+#   TPU grid); the final grid step folds the chunk groups lane-wise and
+#   performs the weighted suffix reduction over buckets with an in-kernel
+#   fori loop. Output: per-window Jacobian sums — the only thing left for
+#   the host is the ~W*c doubling combine (microseconds of bigint math).
+# ---------------------------------------------------------------------------
+
+
+def _general_add(F, P1, P2):
+    """Complete Jacobian + Jacobian addition on limb rows."""
+    X1, Y1, Z1 = P1
+    X2, Y2, Z2 = P2
+    p_inf = F.is_zero(Z1)
+    q_inf = F.is_zero(Z2)
+    Z1Z1 = F.mul(Z1, Z1)
+    Z2Z2 = F.mul(Z2, Z2)
+    U1 = F.mul(X1, Z2Z2)
+    U2 = F.mul(X2, Z1Z1)
+    S1 = F.mul(F.mul(Y1, Z2), Z2Z2)
+    S2 = F.mul(F.mul(Y2, Z1), Z1Z1)
+    H = F.sub(U2, U1)
+    R = F.sub(S2, S1)
+    same_x = F.is_zero(H)
+    same_y = F.is_zero(R)
+    is_double = jnp.logical_and(same_x, same_y)
+    is_cancel = jnp.logical_and(same_x, jnp.logical_not(same_y))
+    H2 = F.add(H, H)
+    I = F.mul(H2, H2)
+    J = F.mul(H, I)
+    R2 = F.add(R, R)
+    V = F.mul(U1, I)
+    R2sq = F.mul(R2, R2)
+    X3 = F.sub(F.sub(R2sq, J), F.add(V, V))
+    S1J = F.mul(S1, J)
+    Y3 = F.sub(F.mul(R2, F.sub(V, X3)), F.add(S1J, S1J))
+    Zs = F.add(Z1, Z2)
+    Z3 = F.mul(F.sub(F.sub(F.mul(Zs, Zs), Z1Z1), Z2Z2), H)
+    # doubling of P1
+    A = F.mul(X1, X1)
+    Bv = F.mul(Y1, Y1)
+    C = F.mul(Bv, Bv)
+    tt = F.add(X1, Bv)
+    D = F.sub(F.sub(F.mul(tt, tt), A), C)
+    D = F.add(D, D)
+    E = F.add(F.add(A, A), A)
+    Fq = F.mul(E, E)
+    dX = F.sub(Fq, F.add(D, D))
+    C8 = F.add(C, C)
+    C8 = F.add(C8, C8)
+    C8 = F.add(C8, C8)
+    dY = F.sub(F.mul(E, F.sub(D, dX)), C8)
+    YZ = F.mul(Y1, Z1)
+    dZ = F.add(YZ, YZ)
+    X3 = F.select(is_double, dX, X3)
+    Y3 = F.select(is_double, dY, Y3)
+    Z3 = F.select(is_double, dZ, Z3)
+    Z3 = F.select(is_cancel, F.zero(Z3[0]), Z3)
+    X3 = F.select(q_inf, X1, F.select(p_inf, X2, X3))
+    Y3 = F.select(q_inf, Y1, F.select(p_inf, Y2, Y3))
+    Z3 = F.select(q_inf, Z1, F.select(p_inf, Z2, Z3))
+    return X3, Y3, Z3
+
+
+def _mixed_add_inline(F, cur, Qx, Qy):
+    X1, Y1, Z1 = cur
+    p_inf = F.is_zero(Z1)
+    Z1Z1 = F.mul(Z1, Z1)
+    U2 = F.mul(Qx, Z1Z1)
+    S2 = F.mul(F.mul(Qy, Z1), Z1Z1)
+    H = F.sub(U2, X1)
+    R = F.sub(S2, Y1)
+    same_x = F.is_zero(H)
+    same_y = F.is_zero(R)
+    is_double = jnp.logical_and(same_x, same_y)
+    is_cancel = jnp.logical_and(same_x, jnp.logical_not(same_y))
+    H2 = F.add(H, H)
+    I = F.mul(H2, H2)
+    J = F.mul(H, I)
+    R2 = F.add(R, R)
+    V = F.mul(X1, I)
+    R2sq = F.mul(R2, R2)
+    X3 = F.sub(F.sub(R2sq, J), F.add(V, V))
+    Y1J = F.mul(Y1, J)
+    Y3 = F.sub(F.mul(R2, F.sub(V, X3)), F.add(Y1J, Y1J))
+    Z3 = F.mul(F.add(Z1, Z1), H)
+    A = F.mul(X1, X1)
+    Bv = F.mul(Y1, Y1)
+    C = F.mul(Bv, Bv)
+    tt = F.add(X1, Bv)
+    D = F.sub(F.sub(F.mul(tt, tt), A), C)
+    D = F.add(D, D)
+    E = F.add(F.add(A, A), A)
+    Fq = F.mul(E, E)
+    dX = F.sub(Fq, F.add(D, D))
+    C8 = F.add(C, C)
+    C8 = F.add(C8, C8)
+    C8 = F.add(C8, C8)
+    dY = F.sub(F.mul(E, F.sub(D, dX)), C8)
+    YZ = F.mul(Y1, Z1)
+    dZ = F.add(YZ, YZ)
+    X3 = F.select(is_double, dX, X3)
+    Y3 = F.select(is_double, dY, Y3)
+    Z3 = F.select(is_double, dZ, Z3)
+    Z3 = F.select(is_cancel, F.zero(Z3[0]), Z3)
+    one_rows = F.one_mont(Z3[0])
+    X3 = F.select(p_inf, Qx, X3)
+    Y3 = F.select(p_inf, Qy, Y3)
+    Z3 = F.select(p_inf, one_rows, Z3)
+    return X3, Y3, Z3
+
+
+def msm_accumulate_factory(p: int, n_buckets: int, n_windows: int, n_chunks: int, T: int):
+    """Accumulation kernel: grid (T,), scratch bucket tables persist across
+    the sequential grid; final tables land in the output once (constant
+    output index => single flush at grid end)."""
+    F = _F(p)
+    nl = F.nl
+    lanes = n_windows * n_chunks
+
+    def kernel(d_ref, qx_ref, qy_ref, out_ref, scratch):
+        F.prep(lanes)
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            one = jnp.concatenate(
+                [jnp.full((1, lanes), v, jnp.uint32) for v in F.r_rows], axis=0
+            )
+            zero = jnp.zeros((nl, lanes), jnp.uint32)
+            for b in range(n_buckets):
+                scratch[b, 0] = one
+                scratch[b, 1] = one
+                scratch[b, 2] = zero
+
+        d = d_ref[0]                              # (1, lanes)
+        q_smallx = qx_ref[0]                      # (nl, n_chunks)
+        q_smally = qy_ref[0]
+        Qx = _split(jnp.concatenate([q_smallx] * n_windows, axis=1), nl)
+        Qy = _split(jnp.concatenate([q_smally] * n_windows, axis=1), nl)
+
+        curX = [jnp.zeros_like(d) for _ in range(nl)]
+        curY = [jnp.zeros_like(d) for _ in range(nl)]
+        curZ = [jnp.zeros_like(d) for _ in range(nl)]
+        for b in range(1, n_buckets):
+            hit = d == np.uint32(b)
+            bx = scratch[b, 0]
+            by = scratch[b, 1]
+            bz = scratch[b, 2]
+            for i in range(nl):
+                curX[i] = jnp.where(hit, bx[i : i + 1], curX[i])
+                curY[i] = jnp.where(hit, by[i : i + 1], curY[i])
+                curZ[i] = jnp.where(hit, bz[i : i + 1], curZ[i])
+
+        nX, nY, nZ = _mixed_add_inline(F, (curX, curY, curZ), Qx, Qy)
+        jX, jY, jZ = _join(nX), _join(nY), _join(nZ)
+        for b in range(1, n_buckets):
+            hit = d == np.uint32(b)
+            scratch[b, 0] = jnp.where(hit, jX, scratch[b, 0])
+            scratch[b, 1] = jnp.where(hit, jY, scratch[b, 1])
+            scratch[b, 2] = jnp.where(hit, jZ, scratch[b, 2])
+
+        @pl.when(t == T - 1)
+        def _():
+            for b in range(n_buckets):
+                out_ref[b, 0] = scratch[b, 0]
+                out_ref[b, 1] = scratch[b, 1]
+                out_ref[b, 2] = scratch[b, 2]
+
+    return kernel
+
+
+_ACC2_CACHE = {}
+
+
+def msm_pallas_window_sums(
+    p: int,
+    digits,  # (T, 1, lanes)
+    Qx,      # (T, nl, n_chunks)
+    Qy,
+    n_buckets: int,
+    n_windows: int,
+    n_chunks: int,
+):
+    """Accumulation core: returns raw bucket tables (n_buckets, 3, nl,
+    lanes); the (small) weighted bucket reduction happens on the host."""
+    nl = field_spec(p).nl
+    T = digits.shape[0]
+    lanes = n_windows * n_chunks
+    akey = (p, n_buckets, n_windows, n_chunks, T)
+    if akey not in _ACC2_CACHE:
+        kernel = msm_accumulate_factory(p, n_buckets, n_windows, n_chunks, T)
+        _ACC2_CACHE[akey] = pl.pallas_call(
+            kernel,
+            grid=(T,),
+            in_specs=[
+                pl.BlockSpec((1, 1, lanes), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, nl, n_chunks), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, nl, n_chunks), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_shape=jax.ShapeDtypeStruct((n_buckets, 3, nl, lanes), jnp.uint32),
+            out_specs=pl.BlockSpec(
+                (n_buckets, 3, nl, lanes), lambda t: (0, 0, 0, 0), memory_space=pltpu.VMEM
+            ),
+            scratch_shapes=[pltpu.VMEM((n_buckets, 3, nl, lanes), jnp.uint32)],
+        )
+    tables = _ACC2_CACHE[akey](digits, Qx, Qy)
+    return tables  # (n_buckets, 3, nl, lanes)

@@ -240,6 +240,7 @@ def prove(r1cs: R1CS, pk: ProvingKey, witness: Witness, rng=None) -> Proof:
     g = P.SCALAR_FIELDS[curve].smallest_nonresidue
     z_coset_inv = pow((pow(g, n, p) - 1) % p, -1, p)
     zinv_mont = f.encode_scalar(z_coset_inv)
+    dom.warm_coset(g)
 
     import jax
 

@@ -270,6 +270,7 @@ def compute_h(r1cs: R1CS, z: Sequence[int], n: int) -> List[int]:
     g = P.SCALAR_FIELDS[curve].smallest_nonresidue
     z_on_coset_inv = pow((pow(g, n, p) - 1) % p, -1, p)
     zinv_mont = f.encode_scalar(z_on_coset_inv)
+    dom.warm_coset(g)
 
     def pipeline(A, B, C):
         a_c = dom.ifft(A)

@@ -1,0 +1,108 @@
+"""Nova IVC folding: multi-step chains fold into one relaxed instance whose
+final witness must satisfy the relaxed R1CS (reference flow:
+zokrates_bellperson/src/nova.rs prove_step/verify)."""
+
+import pytest
+
+from zokrates_tpu.ir.program import (
+    Constraint,
+    LinComb,
+    Parameter,
+    Prog,
+    QuadComb,
+    var_new,
+    var_public,
+)
+from zokrates_tpu.ir.r1cs import r1cs_from_prog
+from zokrates_tpu.schemes import nova
+
+
+def square_step_prog(curve="pallas"):
+    """State transition z' = z*z + z (one public arg, one return)."""
+    a = var_new(0)
+    t = var_new(1)
+    out = var_public(0)
+    stmts = [
+        Constraint(QuadComb(LinComb.from_var(a), LinComb.from_var(a)), LinComb.from_var(t)),
+        Constraint(
+            QuadComb(LinComb.one(), LinComb.from_var(t) + LinComb.from_var(a)),
+            LinComb.from_var(out),
+        ),
+    ]
+    return Prog(curve=curve, arguments=[Parameter(a, private=False)], return_count=1, statements=stmts)
+
+
+def private_arg_prog(curve="pallas"):
+    a = var_new(0)
+    out = var_public(0)
+    stmts = [Constraint(QuadComb(LinComb.from_var(a), LinComb.from_var(a)), LinComb.from_var(out))]
+    return Prog(curve=curve, arguments=[Parameter(a, private=True)], return_count=1, statements=stmts)
+
+
+class TestNova:
+    @pytest.mark.parametrize("curve", ["pallas", "vesta"])
+    def test_ivc_chain(self, curve):
+        prog = square_step_prog(curve)
+        r1cs = r1cs_from_prog(prog)
+        params = nova.setup(prog, r1cs)
+        proof = nova.prove(prog, r1cs, params, [3], num_steps=4)
+        # recompute the expected final state on the host
+        from zokrates_tpu.fields import params as P
+
+        p = P.SCALAR_FIELDS[curve].p
+        z = 3
+        for _ in range(4):
+            z = (z * z + z) % p
+        assert proof.zN == [z]
+        assert nova.verify(r1cs, params, proof)
+
+    def test_tampered_state_fails(self):
+        prog = square_step_prog()
+        r1cs = r1cs_from_prog(prog)
+        params = nova.setup(prog, r1cs)
+        proof = nova.prove(prog, r1cs, params, [2], num_steps=3)
+        proof.zN[0] ^= 1
+        assert not nova.verify(r1cs, params, proof)
+
+    def test_tampered_step_fails(self):
+        prog = square_step_prog()
+        r1cs = r1cs_from_prog(prog)
+        params = nova.setup(prog, r1cs)
+        proof = nova.prove(prog, r1cs, params, [2], num_steps=3)
+        proof.steps[1].x[0] = (proof.steps[1].x[0] + 1) % 7
+        assert not nova.verify(r1cs, params, proof)
+
+    def test_tampered_final_witness_fails(self):
+        prog = square_step_prog()
+        r1cs = r1cs_from_prog(prog)
+        params = nova.setup(prog, r1cs)
+        proof = nova.prove(prog, r1cs, params, [2], num_steps=2)
+        proof.final_W[0] = (proof.final_W[0] + 1)
+        assert not nova.verify(r1cs, params, proof)
+
+    def test_private_args_rejected(self):
+        prog = private_arg_prog()
+        r1cs = r1cs_from_prog(prog)
+        with pytest.raises(nova.NovaError, match="private"):
+            nova.setup(prog, r1cs)
+
+    def test_resume_matches_direct(self):
+        """prove(2) then resume(2) must equal prove(4) bit-for-bit (same
+        transcript replay), mirroring `nova prove --continue`."""
+        prog = square_step_prog()
+        r1cs = r1cs_from_prog(prog)
+        params = nova.setup(prog, r1cs)
+        direct = nova.prove(prog, r1cs, params, [5], num_steps=4)
+        part = nova.prove(prog, r1cs, params, [5], num_steps=2)
+        resumed = nova.prove(prog, r1cs, params, [5], num_steps=2, resume=part)
+        assert resumed.num_steps == 4
+        assert resumed == direct
+        assert nova.verify(r1cs, params, resumed)
+
+    def test_compress_unimplemented(self):
+        prog = square_step_prog()
+        r1cs = r1cs_from_prog(prog)
+        params = nova.setup(prog, r1cs)
+        proof = nova.prove(prog, r1cs, params, [2], num_steps=1)
+        with pytest.raises(NotImplementedError):
+            nova.compress(proof)

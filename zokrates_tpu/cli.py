@@ -341,6 +341,77 @@ def _todo(feature):
 
 
 # ---------------------------------------------------------------------------
+# nova (IVC by folding; reference zokrates_bellperson/src/nova.rs)
+# ---------------------------------------------------------------------------
+
+
+def cmd_nova_setup(args):
+    from .ir.r1cs import r1cs_from_prog
+    from .schemes import nova
+
+    prog = _load_prog(args.input)
+    r1cs = r1cs_from_prog(prog)
+    try:
+        params = nova.setup(prog, r1cs)
+    except nova.NovaError as e:
+        _err(str(e))
+    with open(args.output, "wb") as f:
+        pickle.dump(params, f)
+    print(f"Nova public parameters written to '{args.output}'")
+
+
+def cmd_nova_prove(args):
+    from .ir.r1cs import r1cs_from_prog
+    from .schemes import nova
+
+    prog = _load_prog(args.input)
+    r1cs = r1cs_from_prog(prog)
+    with open(args.params, "rb") as f:
+        params = pickle.load(f)
+    z0 = [int(a, 0) for a in args.arguments]
+    resume = None
+    if args.cont:
+        with open(args.output, "rb") as f:
+            resume = pickle.load(f)
+    try:
+        proof = nova.prove(prog, r1cs, params, z0, args.steps, resume=resume)
+    except nova.NovaError as e:
+        _err(str(e))
+    with open(args.output, "wb") as f:
+        pickle.dump(proof, f)
+    print(f"Nova proof of {proof.num_steps} step(s) written to '{args.output}'")
+    print(f"Final state: {proof.zN}")
+
+
+def cmd_nova_verify(args):
+    from .ir.r1cs import r1cs_from_prog
+    from .schemes import nova
+
+    prog = _load_prog(args.input)
+    r1cs = r1cs_from_prog(prog)
+    with open(args.params, "rb") as f:
+        params = pickle.load(f)
+    with open(args.proof, "rb") as f:
+        proof = pickle.load(f)
+    if nova.verify(r1cs, params, proof):
+        print(f"PASSED ({proof.num_steps} step(s): {proof.z0} -> {proof.zN})")
+    else:
+        print("FAILED")
+        sys.exit(1)
+
+
+def cmd_nova_compress(args):
+    from .schemes import nova
+
+    with open(args.proof, "rb") as f:
+        proof = pickle.load(f)
+    try:
+        nova.compress(proof)
+    except NotImplementedError as e:
+        _err(str(e))
+
+
+# ---------------------------------------------------------------------------
 # argument parsing
 # ---------------------------------------------------------------------------
 
@@ -455,9 +526,27 @@ def make_parser():
     c.add_argument("-p", "--proving-key-path", default="proving.key")
     c.add_argument("-v", "--verification-key-path", default="verification.key")
     c.set_defaults(fn=cmd_mpc_export)
-    for name in ("setup", "prove", "verify", "compress"):
-        c = sub.add_parser(f"nova-{name}", help=f"Nova IVC: {name}")
-        c.set_defaults(fn=_todo(f"nova {name}"))
+    c = sub.add_parser("nova-setup", help="Nova IVC: generate public parameters")
+    c.add_argument("-i", "--input", default="out")
+    c.add_argument("-o", "--output", default="nova.params")
+    c.set_defaults(fn=cmd_nova_setup)
+    c = sub.add_parser("nova-prove", help="Nova IVC: fold N steps into one proof")
+    c.add_argument("-i", "--input", default="out")
+    c.add_argument("-p", "--params", default="nova.params")
+    c.add_argument("-a", "--arguments", nargs="+", required=True, help="initial state z0")
+    c.add_argument("-n", "--steps", type=int, default=1)
+    c.add_argument("-o", "--output", default="nova.proof")
+    c.add_argument("--continue", dest="cont", action="store_true",
+                   help="fold more steps onto the existing proof file")
+    c.set_defaults(fn=cmd_nova_prove)
+    c = sub.add_parser("nova-verify", help="Nova IVC: verify a folded proof")
+    c.add_argument("-i", "--input", default="out")
+    c.add_argument("-p", "--params", default="nova.params")
+    c.add_argument("-j", "--proof", default="nova.proof")
+    c.set_defaults(fn=cmd_nova_verify)
+    c = sub.add_parser("nova-compress", help="Nova IVC: compress (Spartan; not yet implemented)")
+    c.add_argument("-j", "--proof", default="nova.proof")
+    c.set_defaults(fn=cmd_nova_compress)
 
     return p
 

@@ -1,0 +1,410 @@
+"""Nova IVC: incrementally verifiable computation by R1CS folding.
+
+Reference backend: zokrates_bellperson/src/nova.rs (nova_snark over the pasta
+cycle): step-circuit constraint `|public inputs| == |returns|` (nova.rs:44-57),
+per-step folding via RecursiveSNARK::prove_step (nova.rs:159-191), Spartan
+CompressedSNARK (nova.rs:124-143).
+
+TPU-first re-derivation.  The core of Nova is the *folding scheme* for
+relaxed R1CS (Kothapalli-Setty-Tzialla 2021), which is pure field/MSM work
+and runs on our device kernels:
+
+  relaxed R1CS:  Az o Bz = u * Cz + E,   z = (u, x, W)
+  fold(relaxed U1, strict U2):
+      T  = Az1 o Bz2 + Az2 o Bz1 - u1 Cz2 - u2 Cz1
+      r  = RO(transcript, com(T))
+      (E, u, x, W) <- (E1 + r T, u1 + r, x1 + r x2, W1 + r W2)
+
+Vector commitments are Pedersen over the program curve's G1
+(hash-to-curve-derived independent bases, committed with the device MSM);
+for the pasta curves this is the same commitment structure nova_snark uses.
+
+Divergence from the reference (round-2 items, documented honestly):
+  * the folding verifier runs natively instead of inside an augmented step
+    circuit, so the proof carries the per-step strict instances
+    (x_i, com(W_i), com(T_i)) and verification is O(steps) folds plus one
+    O(|W|) final check — constant-size proofs need the in-circuit verifier
+    + 2-cycle curve hopping;
+  * no Spartan compression (`compress` raises).
+
+The chain is bound through the instances: x_i = (z_i, z_{i+1}) (public step
+arguments, then returns), and the verifier walks x_0..x_{N-1} checking
+z-continuity before re-folding.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+from ..ec.curve import PointG1, g1_group
+from ..fields import params as P
+from ..interp.interpreter import Interpreter
+from ..ir.program import Prog, var_public
+from ..ir.r1cs import R1CS
+from .marlin import _Transcript
+
+
+# ---------------------------------------------------------------------------
+# Pedersen commitment key (hash-to-curve, independent bases)
+# ---------------------------------------------------------------------------
+
+
+def _sqrt_mod(a: int, p: int) -> Optional[int]:
+    """Tonelli-Shanks; None if a is a non-residue."""
+    a %= p
+    if a == 0:
+        return 0
+    if pow(a, (p - 1) // 2, p) != 1:
+        return None
+    if p % 4 == 3:
+        return pow(a, (p + 1) // 4, p)
+    # write p-1 = q 2^s
+    q, s = p - 1, 0
+    while q % 2 == 0:
+        q //= 2
+        s += 1
+    # find a non-residue
+    nr = 2
+    while pow(nr, (p - 1) // 2, p) != p - 1:
+        nr += 1
+    c = pow(nr, q, p)
+    x = pow(a, (q + 1) // 2, p)
+    t = pow(a, q, p)
+    m = s
+    while t != 1:
+        i, tt = 0, t
+        while tt != 1:
+            tt = tt * tt % p
+            i += 1
+        b = pow(c, 1 << (m - i - 1), p)
+        x = x * b % p
+        c = b * b % p
+        t = t * c % p
+        m = i
+    return x
+
+
+def _hash_to_curve(curve: str, label: bytes, n: int) -> List[Tuple[int, int]]:
+    """n independent G1 bases by try-and-increment (no known dlog relations,
+    unlike multiples of the generator)."""
+    grp = g1_group(curve)
+    q, a, b = grp.q, grp.a, grp.b
+    out = []
+    for i in range(n):
+        x = int.from_bytes(
+            hashlib.sha3_256(b"zokrates-tpu nova ck|" + label + b"|" + i.to_bytes(8, "big")).digest(),
+            "big",
+        ) % q
+        while True:
+            rhs = (x * x % q * x + a * x + b) % q
+            y = _sqrt_mod(rhs, q)
+            if y is not None:
+                y = min(y, q - y)
+                pt = grp.point(x, y)
+                # clear cofactor is a no-op for prime-order pasta/bn/bls G1
+                out.append((pt.x, pt.y))
+                break
+            x = (x + 1) % q
+    return out
+
+
+def _commit(curve: str, bases: Sequence[Tuple[int, int]], scalars: Sequence[int]) -> PointG1:
+    from .groth16 import _msm_g1
+
+    assert len(scalars) <= len(bases)
+    return _msm_g1(curve, list(bases[: len(scalars)]), list(scalars))
+
+
+# ---------------------------------------------------------------------------
+# data model
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class NovaParams:
+    curve: str
+    num_instance: int
+    num_witness: int
+    num_constraints: int
+    arg_pos: List[int]     # dense indices (within x = z[1:ni]) of the step args
+    out_pos: List[int]     # dense indices (within x) of the step returns
+    ck_w: List[Tuple[int, int]]
+    ck_e: List[Tuple[int, int]]
+
+
+@dataclass
+class RelaxedInstance:
+    u: int
+    x: List[int]
+    com_w: PointG1
+    com_e: PointG1
+
+
+@dataclass
+class RelaxedWitness:
+    W: List[int]
+    E: List[int]
+
+
+@dataclass
+class StepRecord:
+    x: List[int]
+    com_w: Tuple[int, int]
+    com_t: Tuple[int, int]
+
+
+@dataclass
+class NovaProof:
+    curve: str
+    num_steps: int
+    z0: List[int]
+    zN: List[int]
+    steps: List[StepRecord]
+    final_W: List[int]
+    final_E: List[int]
+
+
+class NovaError(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# setup
+# ---------------------------------------------------------------------------
+
+
+def _state_positions(prog: Prog, r1cs: R1CS) -> Tuple[List[int], List[int]]:
+    """Positions of (args, returns) inside x = dense z[1:num_instance]."""
+    arg_pos, out_pos = [], []
+    for arg in prog.arguments:
+        if arg.private:
+            raise NovaError("nova step circuits cannot take private arguments")
+        arg_pos.append(r1cs.ir_to_dense[arg.id] - 1)
+    for i in range(prog.return_count):
+        v = var_public(i)
+        if v not in r1cs.ir_to_dense:
+            raise NovaError("step return not bound to a constraint")
+        out_pos.append(r1cs.ir_to_dense[v] - 1)
+    if len(arg_pos) != len(out_pos):
+        raise NovaError(
+            f"nova requires |public inputs| == |returns| "
+            f"(got {len(arg_pos)} vs {len(out_pos)}, cf. nova.rs:44-57)"
+        )
+    return arg_pos, out_pos
+
+
+def setup(prog: Prog, r1cs: R1CS) -> NovaParams:
+    arg_pos, out_pos = _state_positions(prog, r1cs)
+    curve = r1cs.curve
+    return NovaParams(
+        curve=curve,
+        num_instance=r1cs.num_instance,
+        num_witness=r1cs.num_witness,
+        num_constraints=r1cs.num_constraints,
+        arg_pos=arg_pos,
+        out_pos=out_pos,
+        ck_w=_hash_to_curve(curve, b"W", max(r1cs.num_witness, 1)),
+        ck_e=_hash_to_curve(curve, b"E", max(r1cs.num_constraints, 1)),
+    )
+
+
+# ---------------------------------------------------------------------------
+# folding
+# ---------------------------------------------------------------------------
+
+
+def _mat_vec(rows, z: Sequence[int], p: int) -> List[int]:
+    return [sum(c * z[i] for i, c in row) % p for row in rows]
+
+
+def _zvec(inst_u: int, x: Sequence[int], W: Sequence[int]) -> List[int]:
+    return [inst_u] + list(x) + list(W)
+
+
+def _absorb_step(tr: _Transcript, x: Sequence[int], com_w: PointG1, com_t: PointG1):
+    for v in x:
+        tr.absorb_int(v)
+    tr.absorb_point(com_w)
+    tr.absorb_point(com_t)
+
+
+def _fold_instance(
+    U1: RelaxedInstance, x2: Sequence[int], com_w2: PointG1, com_t: PointG1, rch: int, p: int
+) -> RelaxedInstance:
+    return RelaxedInstance(
+        u=(U1.u + rch) % p,
+        x=[(a + rch * b) % p for a, b in zip(U1.x, x2)],
+        com_w=U1.com_w + com_w2 * rch,
+        com_e=U1.com_e + com_t * rch,
+    )
+
+
+def _trivial(curve: str, ni: int, nw: int, nc: int) -> Tuple[RelaxedInstance, RelaxedWitness]:
+    zero = g1_group(curve).zero()
+    return (
+        RelaxedInstance(u=0, x=[0] * (ni - 1), com_w=zero, com_e=zero),
+        RelaxedWitness(W=[0] * nw, E=[0] * nc),
+    )
+
+
+def _start_transcript(params: NovaParams, z0: Sequence[int], p: int) -> _Transcript:
+    tr = _Transcript(b"zokrates-tpu nova v1")
+    for v in (params.num_instance, params.num_witness, params.num_constraints):
+        tr.absorb_int(v)
+    # bind the commitment key (first/last base of each)
+    for ck in (params.ck_w, params.ck_e):
+        for pt in (ck[0], ck[-1]):
+            tr.absorb_int(pt[0])
+            tr.absorb_int(pt[1])
+    for v in z0:
+        tr.absorb_int(v % p)
+    return tr
+
+
+def prove(
+    prog: Prog,
+    r1cs: R1CS,
+    params: NovaParams,
+    z0: Sequence[int],
+    num_steps: int,
+    resume: Optional[NovaProof] = None,
+) -> NovaProof:
+    """Fold `num_steps` more steps.  With `resume`, continues an existing
+    proof (the reference's `nova prove --continue`, ops/nova/prove.rs:153-156):
+    the transcript and folded instance are rebuilt by replay, the folded
+    witness carries over."""
+    curve = r1cs.curve
+    p = P.SCALAR_FIELDS[curve].p
+    ni = r1cs.num_instance
+    if num_steps < 1:
+        raise NovaError("need at least one step")
+
+    if resume is not None:
+        z0 = [v % p for v in resume.z0]
+        tr = _start_transcript(params, z0, p)
+        acc_U, _ = _trivial(curve, ni, r1cs.num_witness, r1cs.num_constraints)
+        for rec in resume.steps:
+            com_w2 = _pt(curve, rec.com_w)
+            com_t = _pt(curve, rec.com_t)
+            _absorb_step(tr, rec.x, com_w2, com_t)
+            acc_U = _fold_instance(acc_U, rec.x, com_w2, com_t, tr.squeeze(p), p)
+        acc_W = RelaxedWitness(W=list(resume.final_W), E=list(resume.final_E))
+        z_i = [v % p for v in resume.zN]
+        steps = list(resume.steps)
+    else:
+        z0 = [v % p for v in z0]
+        acc_U, acc_W = _trivial(curve, ni, r1cs.num_witness, r1cs.num_constraints)
+        tr = _start_transcript(params, z0, p)
+        z_i = list(z0)
+        steps = []
+
+    for _ in range(num_steps):
+        wit = Interpreter().execute(prog, z_i)
+        z_next = [v % p for v in wit.return_values()]
+        full = [v % p for v in r1cs.full_assignment(wit)]
+        x2 = full[1:ni]
+        W2 = full[ni:]
+        com_w2 = _commit(curve, params.ck_w, W2)
+
+        # cross term between the accumulator and this step's strict instance
+        z1 = _zvec(acc_U.u, acc_U.x, acc_W.W)
+        z2 = _zvec(1, x2, W2)
+        az1, bz1, cz1 = (_mat_vec(m, z1, p) for m in (r1cs.A, r1cs.B, r1cs.C))
+        az2, bz2, cz2 = (_mat_vec(m, z2, p) for m in (r1cs.A, r1cs.B, r1cs.C))
+        T = [
+            (a1 * b2 + a2 * b1 - acc_U.u * c2 - c1) % p
+            for a1, b1, c1, a2, b2, c2 in zip(az1, bz1, cz1, az2, bz2, cz2)
+        ]
+        com_t = _commit(curve, params.ck_e, T)
+
+        _absorb_step(tr, x2, com_w2, com_t)
+        rch = tr.squeeze(p)
+
+        acc_U = _fold_instance(acc_U, x2, com_w2, com_t, rch, p)
+        acc_W = RelaxedWitness(
+            W=[(a + rch * b) % p for a, b in zip(acc_W.W, W2)],
+            E=[(e + rch * t) % p for e, t in zip(acc_W.E, T)],
+        )
+        steps.append(
+            StepRecord(
+                x=x2,
+                com_w=(com_w2.x, com_w2.y) if com_w2.x is not None else (0, 0),
+                com_t=(com_t.x, com_t.y) if com_t.x is not None else (0, 0),
+            )
+        )
+        z_i = z_next
+
+    return NovaProof(
+        curve=curve,
+        num_steps=len(steps),
+        z0=z0,
+        zN=z_i,
+        steps=steps,
+        final_W=acc_W.W,
+        final_E=acc_W.E,
+    )
+
+
+def _pt(curve: str, xy: Tuple[int, int]) -> PointG1:
+    grp = g1_group(curve)
+    if xy == (0, 0):
+        return grp.zero()
+    pt = grp.point(xy[0], xy[1])
+    if not pt.is_on_curve():
+        raise NovaError("proof point not on curve")
+    return pt
+
+
+def verify(r1cs: R1CS, params: NovaParams, proof: NovaProof) -> bool:
+    curve = r1cs.curve
+    p = P.SCALAR_FIELDS[curve].p
+    ni = r1cs.num_instance
+    if proof.num_steps != len(proof.steps) or proof.num_steps < 1:
+        return False
+
+    acc_U, _ = _trivial(curve, ni, r1cs.num_witness, r1cs.num_constraints)
+    tr = _start_transcript(params, proof.z0, p)
+
+    z_i = [v % p for v in proof.z0]
+    try:
+        for rec in proof.steps:
+            if len(rec.x) != ni - 1:
+                return False
+            # chain binding: this step's args must equal the running state
+            if [rec.x[i] for i in params.arg_pos] != z_i:
+                return False
+            com_w2 = _pt(curve, rec.com_w)
+            com_t = _pt(curve, rec.com_t)
+            _absorb_step(tr, rec.x, com_w2, com_t)
+            rch = tr.squeeze(p)
+            acc_U = _fold_instance(acc_U, rec.x, com_w2, com_t, rch, p)
+            z_i = [rec.x[i] for i in params.out_pos]
+    except NovaError:
+        return False
+    if z_i != [v % p for v in proof.zN]:
+        return False
+
+    # final check: the folded witness opens the folded instance...
+    com_w = _commit(curve, params.ck_w, proof.final_W)
+    com_e = _commit(curve, params.ck_e, proof.final_E)
+    if (com_w.x, com_w.y) != (acc_U.com_w.x, acc_U.com_w.y):
+        return False
+    if (com_e.x, com_e.y) != (acc_U.com_e.x, acc_U.com_e.y):
+        return False
+
+    # ...and satisfies the relaxed R1CS
+    z = _zvec(acc_U.u, acc_U.x, proof.final_W)
+    az, bz, cz = (_mat_vec(m, z, p) for m in (r1cs.A, r1cs.B, r1cs.C))
+    return all(
+        a * b % p == (acc_U.u * c + e) % p
+        for a, b, c, e in zip(az, bz, cz, proof.final_E)
+    )
+
+
+def compress(proof: NovaProof):
+    raise NotImplementedError(
+        "nova compress (Spartan CompressedSNARK, nova.rs:124-143) is not yet "
+        "implemented; verify() checks the uncompressed IVC proof"
+    )

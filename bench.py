@@ -38,16 +38,24 @@ def main():
     grp = g1_group("bn128")
     f = field_ops(grp.q)
 
+    # n random-looking points: P_i = R0 + i*Q with random 254-bit R0, Q.
+    # (Small-multiple families like i*g are pathological: bucket partial
+    # sums (a+b)*g literally equal other input points, constantly forcing
+    # the kernel's complete-addition fallback. Real prover bases are
+    # powers-of-tau images, where such collisions are negligible.)
     g = grp.generator()
-    base, acc = [], g
-    for _ in range(1024):
-        base.append(acc)
-        acc = acc + g
     rng = np.random.RandomState(7)
+    r0 = int.from_bytes(rng.bytes(32), "big") % grp.r
+    q0 = int.from_bytes(rng.bytes(32), "big") % grp.r
+    acc, step = g * r0, g * q0
+    base = []
+    for _ in range(n):
+        base.append(acc)
+        acc = acc + step
     scalars = [int(s) for s in rng.randint(1, 1 << 48, size=n, dtype=np.int64)]
 
-    Px = f.encode([base[i % 1024].x for i in range(n)])
-    Py = f.encode([base[i % 1024].y for i in range(n)])
+    Px = f.encode([p.x for p in base])
+    Py = f.encode([p.y for p in base])
     S = jnp.asarray(ints_to_limbs(scalars, n_limbs(grp.r)))
 
     # warmup / compile

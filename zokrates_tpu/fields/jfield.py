@@ -267,6 +267,8 @@ def make_ops(p: int):
     ns.inv = jax.jit(inv)
     ns.to_mont = jax.jit(to_mont)
     ns.from_mont = jax.jit(from_mont)
+    ns.to_mont_ = to_mont
+    ns.from_mont_ = from_mont
     # raw traceable versions for composition into larger kernels
     ns.add_ = add
     ns.sub_ = sub

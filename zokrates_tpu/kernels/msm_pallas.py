@@ -1,9 +1,13 @@
 """Host wrapper for the whole-MSM Pallas kernel (TPU hot path).
 
-Orchestration: lay the points out chunk-contiguously, hand the Pippenger
-core to one pallas_call (kernels/pallas_field.msm_pallas_window_sums), pull
-back W Jacobian window sums, and finish with the tiny host-side combine
-(Jacobian -> affine + W*c doublings in Python ints).
+Orchestration: ONE jitted device graph does digit decomposition, the
+chunk-contiguous layout, the Pippenger accumulation kernel (with its
+in-kernel weighted bucket reduction — kernels/pallas_field.
+msm_accumulate_factory) and the Montgomery decode, so the per-call work
+outside that graph is a single small transfer plus O(W * CH) host bigint
+folds. (Anything dispatched op-by-op through the axon backend pays ~1.3 ms
+per HLO op, which is why digits/decode must live inside the graph: they
+were 1.3 s of a 1.4 s call when dispatched eagerly.)
 
 The Mosaic kernel takes minutes to build, so N is padded up to power-of-two
 step tiers — one compile serves every circuit in the tier (padding points
@@ -27,6 +31,7 @@ from .pallas_field import msm_pallas_window_sums
 
 WINDOW_C = 4
 N_CHUNKS = 8
+GROUP = 4       # points folded per kernel grid step
 
 
 def _tier(T: int) -> int:
@@ -36,20 +41,27 @@ def _tier(T: int) -> int:
     return t
 
 
-def _msm_core(curve_q: int, c: int, n_chunks: int, digits, Px, Py):
-    """Jitted device part: layout + accumulation kernel -> bucket tables."""
+def _msm_core(curve_q: int, c: int, n_chunks: int, G: int, with_double: bool, S, Px, Py):
+    """Jitted device graph: digits + layout + kernel + Montgomery decode."""
+    f = field_ops(curve_q)
+    digits = _digit_matrix(S, c)
     W = digits.shape[0]
     lanes = W * n_chunks
     N = Px.shape[0]
     T = N // n_chunks
+    TG = T // G
     nl = Px.shape[1]
     D = jnp.transpose(digits.reshape(W, n_chunks, T), (2, 0, 1)).reshape(T, 1, lanes)
+    D = D.reshape(TG, 1, G, lanes)
     Qx = jnp.transpose(Px.reshape(n_chunks, T, nl), (1, 2, 0))
     Qy = jnp.transpose(Py.reshape(n_chunks, T, nl), (1, 2, 0))
-    tables = msm_pallas_window_sums(curve_q, D, Qx, Qy, 1 << c, W, n_chunks)
-    # (B, 3, nl, lanes) -> (B * 3 * lanes, nl) rows for one batched decode
-    B = tables.shape[0]
-    return jnp.transpose(tables, (0, 1, 3, 2)).reshape(B * 3 * lanes, nl)
+    Qx = Qx.reshape(TG, G, nl, n_chunks).transpose(0, 2, 1, 3).reshape(TG, nl, G * n_chunks)
+    Qy = Qy.reshape(TG, G, nl, n_chunks).transpose(0, 2, 1, 3).reshape(TG, nl, G * n_chunks)
+    wsum, flag = msm_pallas_window_sums(
+        curve_q, D, Qx, Qy, 1 << c, W, n_chunks, G, with_double=with_double
+    )
+    rows = jnp.transpose(wsum, (0, 2, 1)).reshape(3 * lanes, nl)
+    return f.from_mont_(rows), jnp.max(flag)
 
 
 _CORE_JIT = {}
@@ -63,32 +75,41 @@ def msm_pallas(
     scalars,
     c: int = WINDOW_C,
     n_chunks: int = N_CHUNKS,
+    G: int = GROUP,
 ):
     """Returns per-window Jacobian sums as host int lists (Xs, Ys, Zs):
-    device bucket accumulation + host bucket fold/weighting."""
+    device bucket accumulation + reduction, host chunk fold."""
     f = field_ops(curve_q)
     N = Px.shape[0]
     T = _tier(-(-N // n_chunks))
+    while T % G:
+        T *= 2
     Npad = T * n_chunks
-    digits = _digit_matrix(scalars, c)
-    W = digits.shape[0]
-    B = 1 << c
-    lanes = W * n_chunks
     if Npad != N:
-        digits = jnp.pad(digits, ((0, 0), (0, Npad - N)))
+        scalars = jnp.pad(scalars, ((0, Npad - N), (0, 0)))
         Px = jnp.pad(Px, ((0, Npad - N), (0, 0)), mode="edge")
         Py = jnp.pad(Py, ((0, Npad - N), (0, 0)), mode="edge")
 
-    key = (curve_q, c, n_chunks, Npad)
+    key = (curve_q, c, n_chunks, G, Npad, False)
     if key not in _CORE_JIT:
-        _CORE_JIT[key] = jax.jit(partial(_msm_core, curve_q, c, n_chunks))
-    rows = _CORE_JIT[key](digits, Px, Py)
-    vals = f.decode(rows)  # length B*3*lanes, order (b, coord, lane)
+        _CORE_JIT[key] = jax.jit(partial(_msm_core, curve_q, c, n_chunks, G, False))
+    rows, flag = _CORE_JIT[key](scalars, Px, Py)
+    if int(flag):
+        # bucket == point collision: the fast kernel skipped a doubling.
+        # Rerun with the complete kernel (compiled lazily; essentially
+        # never reached for the distinct-point MSMs the provers issue).
+        skey = (curve_q, c, n_chunks, G, Npad, True)
+        if skey not in _CORE_JIT:
+            _CORE_JIT[skey] = jax.jit(partial(_msm_core, curve_q, c, n_chunks, G, True))
+        rows, _ = _CORE_JIT[skey](scalars, Px, Py)
+    vals = f.decode(rows, mont=False)  # length 3*lanes, order (coord, lane)
 
     q = curve_q
+    W = len(vals) // (3 * n_chunks)
+    lanes = W * n_chunks
 
-    def at(b, coord, lane):
-        return vals[(b * 3 + coord) * lanes + lane]
+    def at(coord, lane):
+        return vals[coord * lanes + lane]
 
     def jac_add(P1, P2):
         # host Jacobian add (complete)
@@ -132,19 +153,13 @@ def msm_pallas(
 
     Xs, Ys, Zs = [], [], []
     for w in range(W):
-        # fold chunks and weight buckets: sum_b b * S_b via suffix sums
         acc = (1, 1, 0)
-        wsum = (1, 1, 0)
-        for b in range(B - 1, 0, -1):
-            Sb = (1, 1, 0)
-            for ch in range(n_chunks):
-                lane = w * n_chunks + ch
-                Sb = jac_add(Sb, (at(b, 0, lane), at(b, 1, lane), at(b, 2, lane)))
-            acc = jac_add(acc, Sb)
-            wsum = jac_add(wsum, acc)
-        Xs.append(wsum[0])
-        Ys.append(wsum[1])
-        Zs.append(wsum[2])
+        for ch in range(n_chunks):
+            lane = w * n_chunks + ch
+            acc = jac_add(acc, (at(0, lane), at(1, lane), at(2, lane)))
+        Xs.append(acc[0])
+        Ys.append(acc[1])
+        Zs.append(acc[2])
     return Xs, Ys, Zs
 
 
@@ -154,7 +169,7 @@ def msm_pallas_host(grp, points: Sequence[PointG1], scalar_ints: Sequence[int], 
     Px = f.encode([p.x for p in points])
     Py = f.encode([p.y for p in points])
     S = jnp.asarray(ints_to_limbs([s % grp.r for s in scalar_ints], n_limbs(grp.r)))
-    Xs, Ys, Zs = msm_pallas(grp.q, grp.r, Px, Py, S, c=c)
+    Xs, Ys, Zs = msm_pallas(grp.q, grp.r, Px, Py, S)
     affs = []
     q = grp.q
     for x, y, z in zip(Xs, Ys, Zs):

@@ -40,7 +40,9 @@ class TestMPC:
         params = mpc.init(r1cs)
         mpc.contribute(params)
         grp = g1_group("bn128")
-        pt = PointG1(grp, *params.pk.h_query[0])
+        hq = params.pk.h_query  # packed pk: property returns a fresh list
+        pt = PointG1(grp, *hq[0])
         bad = pt * 3
-        params.pk.h_query[0] = (bad.x, bad.y)
+        hq[0] = (bad.x, bad.y)
+        params.pk.h_query = hq  # write back through the packing setter
         assert not mpc.verify(params, r1cs)

@@ -1,0 +1,110 @@
+"""Correctness tests for the sort-based large-window MSM (kernels/msm_sorted.py).
+
+Runs on the CPU backend with Pallas interpret mode and a reduced config
+(c=8, 32 lanes). Oracle: host double-and-add over ec.curve points.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from zokrates_tpu.ec.curve import g1_group
+from zokrates_tpu.fields.jfield import field_ops
+from zokrates_tpu.fields.limbs import ints_to_limbs, n_limbs
+from zokrates_tpu.kernels.msm_sorted import (
+    MSMConfig,
+    msm_sorted_host,
+    pack_points,
+    pad_msm_inputs,
+    _windows,
+)
+
+
+def _setup(curve="bn128", n=512, seed=0, scalar_bits=40, family="random"):
+    grp = g1_group(curve)
+    rng = np.random.default_rng(seed)
+    g = grp.generator()
+    # "random-looking" points: P_i = R0 + i*Q for random R0, Q
+    r0 = g * int(rng.integers(1, min(grp.r, 1 << 62)))
+    q = g * int(rng.integers(1, min(grp.r, 1 << 62)))
+    pts = []
+    acc = r0
+    for _ in range(n):
+        pts.append(acc)
+        acc = acc + q
+    hi = grp.r if scalar_bits is None else (1 << scalar_bits)
+    scalars = [int(rng.integers(0, min(hi, 1 << 63))) for _ in range(n)]
+    if family == "smallmult":
+        pts = [g * (i + 1) for i in range(n)]
+    return grp, pts, scalars
+
+
+def _expected(grp, pts, scalars):
+    acc = grp.zero()
+    for P, s in zip(pts, scalars):
+        acc = acc + P * s
+    return acc
+
+
+def _run(curve, grp, pts, scalars, cfg, max_bits=None):
+    f = field_ops(grp.q)
+    X = f.encode([p.x for p in pts])
+    Y = f.encode([p.y for p in pts])
+    nls = n_limbs(grp.r)
+    S = jnp.asarray(ints_to_limbs([s % grp.r for s in scalars], nls))
+    X, Y, S = pad_msm_inputs(grp.q, X, Y, S, min_n=cfg.M1 * cfg.R)
+    P128 = pack_points(grp.q, X, Y)
+    jx, jy, jz = msm_sorted_host(grp.q, grp.r, P128, S, cfg, max_bits=max_bits)
+    if jz == 0:
+        return grp.zero()
+    zinv = pow(jz, -1, grp.q)
+    return grp.point(jx * zinv * zinv % grp.q, jy * zinv * zinv % grp.q * zinv % grp.q)
+
+
+CFG = MSMConfig(c=8, M1=32, R=2, lw2=8, interpret=True)
+
+
+@pytest.mark.parametrize("n", [96])
+def test_msm_sorted_random(n):
+    grp, pts, scalars = _setup(n=n)
+    got = _run("bn128", grp, pts, scalars, CFG, max_bits=40)
+    exp = _expected(grp, pts, scalars)
+    assert (got.x, got.y) == (exp.x, exp.y)
+
+
+def test_msm_sorted_edge_scalars():
+    grp, pts, scalars = _setup(n=96)
+    scalars[0] = 0
+    scalars[1] = (1 << 40) - 1
+    scalars[2] = 1
+    scalars[3] = (1 << 39) + 5
+    scalars[4] = 0
+    got = _run("bn128", grp, pts, scalars, CFG, max_bits=40)
+    exp = _expected(grp, pts, scalars)
+    assert (got.x, got.y) == (exp.x, exp.y)
+
+
+def test_msm_sorted_smallmult_collisions():
+    # i*g points make bucket partial sums collide with inputs, forcing the
+    # safe-kernel fallback path.
+    grp, pts, scalars = _setup(n=96, family="smallmult", scalar_bits=16)
+    got = _run("bn128", grp, pts, scalars, CFG, max_bits=16)
+    exp = _expected(grp, pts, scalars)
+    assert (got.x, got.y) == (exp.x, exp.y)
+
+
+def test_msm_sorted_all_same_bucket():
+    # every scalar identical: one giant run per window
+    grp, pts, _ = _setup(n=96)
+    scalars = [12345] * 96
+    got = _run("bn128", grp, pts, scalars, CFG, max_bits=16)
+    exp = _expected(grp, pts, scalars)
+    assert (got.x, got.y) == (exp.x, exp.y)
+
+
+def test_windows_counts():
+    from zokrates_tpu.fields.params import SCALAR_FIELDS
+
+    assert _windows(SCALAR_FIELDS["bn128"].p, 16) == 16
+    assert _windows(SCALAR_FIELDS["bls12_381"].p, 16) == 16
+    assert _windows(SCALAR_FIELDS["bw6_761"].p, 16) == 24

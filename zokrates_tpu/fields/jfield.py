@@ -210,6 +210,23 @@ def make_ops(p: int):
         """Fermat inverse a^(p-2). inv(0) = 0 by convention."""
         return pow_const(a, p - 2)
 
+    def reduce_wide(t):
+        """Lazy-sum reduction: t (..., nl) uint32 whose limbs are column
+        sums < 2^31 of (16-bit-limb) field residues -> the sum mod p.
+
+        Used after u32 segment_sum accumulation (the device sparse matvec):
+        V = lo + carry*B^nl with lo 16-bit-normalized; both parts fold back
+        into [0, p) with one Montgomery multiplication each (mul by R gives
+        x*R*R^-1 = x mod p)."""
+        res, carry = _carry_sweep(t)
+        r_mont = jnp.broadcast_to(jnp.asarray(spec.r_limbs), res.shape).astype(_U32)
+        lo = mul(res, r_mont)
+        c_emb = jnp.zeros_like(res).at[..., 0].set(carry & _MASK).at[..., 1].set(carry >> LIMB_BITS)
+        shift_mont = (1 << (LIMB_BITS * nl)) * spec.r % p
+        sh = jnp.broadcast_to(jnp.asarray(int_to_limbs(shift_mont, nl)), res.shape).astype(_U32)
+        hi = mul(c_emb, sh)
+        return add(lo, hi)
+
     def to_mont(a):
         return mul(a, jnp.broadcast_to(jnp.asarray(spec.r2_limbs), a.shape).astype(_U32))
 
@@ -276,6 +293,7 @@ def make_ops(p: int):
     ns.mul_ = mul
     ns.inv_ = inv
     ns.pow_const_ = pow_const
+    ns.reduce_wide_ = reduce_wide
     ns.select = select
     ns.is_zero = is_zero
     ns.eq = eq

@@ -1,0 +1,673 @@
+"""Sort-based large-window Pippenger MSM for TPU.
+
+This is the round-2 redesign of the MSM hot kernel (reference: arkworks'
+rayon Pippenger, zokrates_ark/Cargo.toml:6-17). The round-1 kernel used
+c=4 windows with one-hot VMEM bucket tables, whose cost is O(2^c) vector
+ops per point — a ~1-2M pts/s ceiling. Measured TPU primitives
+(exp/m*_probe.py) show the true budget: ~45M 1024-lane mixed-adds/s
+(compute-bound, flat in lane width), 512-byte-row gathers at ~7ns/row,
+(16, 2^20) u32 sorts in ~18ms. That dictates this design:
+
+  * signed digits with c = 16 = LIMB_BITS (digit == scalar limb), so a
+    254-bit scalar costs 16 window-adds/point instead of 64,
+  * per window: sort point indices by |digit| (jax.lax.sort), gather the
+    affine points into sorted order as 512B rows (the measured-fast row
+    width), then
+  * bucket accumulation as a *chunked sequential walk*: lane m owns the
+    contiguous sorted positions [m*K, (m+1)*K) and adds them into a
+    running accumulator, flushing a partial-sum record whenever the
+    bucket id changes (flags precomputed in XLA — the kernel has zero
+    data-dependent addressing),
+  * records (<= HB + M per window) are compacted by gather and merged by
+    two more walk passes with complete adds (record counts per bucket
+    provably reach <= 2), scattered into a 2-slot dense table,
+  * the weighted bucket reduction sum_b b*S_b runs as a chunked suffix
+    walk (2 complete adds per bucket) with a static per-lane multiplier
+    ladder and an in-kernel cross-lane tree merge,
+  * the final W window sums are combined on the host (W*c doublings of
+    bigint math — microseconds).
+
+Safety: the accumulation walk uses the doubling-free fast mixed-add and
+raises a collision flag if any bucket-partial-sum ever equals the
+incoming point (probability ~2^-127 per add for non-degenerate inputs);
+the caller reruns with the complete-formula kernel in that case.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..fields.jfield import field_spec
+from ..fields.limbs import LIMB_BITS, ints_to_limbs, n_limbs
+from .pallas_field import _F, _general_add, _join, _mixed_add_inline, _split
+
+
+# ---------------------------------------------------------------------------
+# Config
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class MSMConfig:
+    """Static shape/layout parameters for one MSM instantiation.
+
+    c must divide LIMB_BITS. M1 is the accumulation-walk lane count (must
+    divide the padded point count), R the points per grid step, lw2 the
+    lanes-per-window of the record-merge and suffix walks.
+    """
+
+    c: int = 16
+    M1: int = 1024
+    R: int = 4
+    lw2: int = 64
+    interpret: bool = False
+
+    @property
+    def hb(self) -> int:
+        return 1 << (self.c - 1)
+
+
+def default_config(n: int, interpret: bool = False) -> MSMConfig:
+    if interpret or n <= (1 << 12):
+        return MSMConfig(c=8, M1=32, R=2, lw2=8, interpret=interpret)
+    return MSMConfig(c=16, M1=1024, R=4, lw2=64, interpret=False)
+
+
+def _windows(r_mod: int, c: int) -> int:
+    """Window count for scalars < r_mod with c-bit signed digits (the
+    carry out of the top window must be representable)."""
+    bits = (r_mod - 1).bit_length()
+    w = -(-bits // c)
+    top = (r_mod - 1) >> (c * (w - 1))
+    if top + 1 >= (1 << (c - 1)):
+        w += 1
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernels
+# ---------------------------------------------------------------------------
+
+
+def _double_inline(F, P):
+    """Jacobian doubling (dbl-2009-l), valid for a=0 curves."""
+    X1, Y1, Z1 = P
+    A = F.mul(X1, X1)
+    Bv = F.mul(Y1, Y1)
+    C = F.mul(Bv, Bv)
+    t = F.add(X1, Bv)
+    D = F.sub(F.sub(F.mul(t, t), A), C)
+    D = F.add(D, D)
+    E = F.add(F.add(A, A), A)
+    Fq = F.mul(E, E)
+    X3 = F.sub(Fq, F.add(D, D))
+    C8 = F.add(C, C)
+    C8 = F.add(C8, C8)
+    C8 = F.add(C8, C8)
+    Y3 = F.sub(F.mul(E, F.sub(D, X3)), C8)
+    YZ = F.mul(Y1, Z1)
+    Z3 = F.add(YZ, YZ)
+    return X3, Y3, Z3
+
+
+def walk_kernel_factory(
+    p: int, R: int, M: int, T: int, mode: str, safe: bool, compact: bool = False
+):
+    """Chunked segmented-accumulation walk.
+
+    Grid (T,). Step t processes R sorted positions per lane. Inputs:
+      q_ref:  (R, IN_ROWS, M) block — affine [x|y] rows (mode="mixed",
+              IN_ROWS=2nl) or Jacobian [X|Y|Z] rows (mode="general", 3nl)
+      f_ref:  (1, R, M) u32 flags — bit0 flush-after, bit1 skip
+              (flags ship as (T, R, M) so the block's trailing dims equal
+              the array's — Mosaic's block-shape divisibility rule)
+    Outputs:
+      o_ref:  (R, 3nl, M) block — accumulator snapshot after every step
+              (only flush positions are read downstream)
+      flag_ref: (1, M) collision flags (mixed fast path only)
+    """
+    F = _F(p, compact=compact)
+    nl = F.nl
+    mixed = mode == "mixed"
+
+    def kernel(q_ref, f_ref, o_ref, flag_ref, accx, accy, accz, coll):
+        F.prep(M)
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            z = jnp.zeros((nl, M), jnp.uint32)
+            accx[...] = z
+            accy[...] = z
+            accz[...] = z
+            coll[...] = jnp.zeros((1, M), jnp.uint32)
+
+        cur = (
+            _split(accx[...], nl),
+            _split(accy[...], nl),
+            _split(accz[...], nl),
+        )
+        for r in range(R):
+            flg = f_ref[0, r : r + 1]  # (1, M)
+            Qx = [q_ref[r, i : i + 1] for i in range(nl)]
+            Qy = [q_ref[r, nl + i : nl + i + 1] for i in range(nl)]
+            if mixed:
+                nX, nY, nZ, is_dbl = _mixed_add_inline(
+                    F, cur, Qx, Qy, with_double=safe
+                )
+            else:
+                Qz = [q_ref[r, 2 * nl + i : 2 * nl + i + 1] for i in range(nl)]
+                nX, nY, nZ = _general_add(F, cur, (Qx, Qy, Qz))
+            skip = (flg & np.uint32(2)) != 0
+            X = F.select(skip, cur[0], nX)
+            Y = F.select(skip, cur[1], nY)
+            Z = F.select(skip, cur[2], nZ)
+            if mixed and not safe:
+                coll[...] = coll[...] | jnp.where(
+                    jnp.logical_and(is_dbl, jnp.logical_not(skip)),
+                    np.uint32(1),
+                    np.uint32(0),
+                )
+            o_ref[r, 0:nl] = _join(X)
+            o_ref[r, nl : 2 * nl] = _join(Y)
+            o_ref[r, 2 * nl : 3 * nl] = _join(Z)
+            flush = (flg & np.uint32(1)) != 0
+            Z = F.select(flush, F.zero(Z[0]), Z)
+            cur = (X, Y, Z)
+
+        accx[...] = _join(cur[0])
+        accy[...] = _join(cur[1])
+        accz[...] = _join(cur[2])
+
+        @pl.when(t == T - 1)
+        def _():
+            flag_ref[...] = coll[...]
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _walk_call(p: int, R: int, M: int, T: int, mode: str, safe: bool, interpret: bool):
+    nl = field_spec(p).nl
+    in_rows = 2 * nl if mode == "mixed" else 3 * nl
+    kernel = walk_kernel_factory(p, R, M, T, mode, safe, compact=interpret)
+    return pl.pallas_call(
+        kernel,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((R, in_rows, M), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, M), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((R, 3 * nl, M), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((T * R, 3 * nl, M), jnp.uint32),
+            jax.ShapeDtypeStruct((1, M), jnp.uint32),
+        ),
+        scratch_shapes=[pltpu.VMEM((nl, M), jnp.uint32)] * 3
+        + [pltpu.VMEM((1, M), jnp.uint32)],
+        interpret=interpret,
+    )
+
+
+def suffix_kernel_factory(
+    p: int, L: int, lw: int, M: int, compact: bool = False
+):
+    """Chunked suffix accumulation over the 2-slot dense bucket tables.
+
+    Input: two (L, 3nl, M) streams (slot 0 / slot 1). Each lane owns L
+    consecutive table entries in *descending* bucket order; lanes
+    [w*lw, (w+1)*lw) cover window w. Per step the kernel folds both slots
+    into a running sum `acc` and a sum-of-running-sums `tot` (the suffix
+    identity: sum_b b*S_b over a lane's chunk = tot, up to the per-lane
+    base multiplier applied by the XLA epilogue). Output: (6nl, M) =
+    [acc | tot] after the last step — the cross-lane weighted combine and
+    tree merge run in XLA (keeps this kernel's body tiny and its shape
+    independent of the MSM size, so one Mosaic compile serves all N).
+    """
+    F = _F(p, compact=compact)
+    nl = F.nl
+
+    def kernel(a_ref, b_ref, o_ref, accx, accy, accz, totx, toty, totz):
+        F.prep(M)
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            z = jnp.zeros((nl, M), jnp.uint32)
+            accx[...] = z
+            accy[...] = z
+            accz[...] = z
+            totx[...] = z
+            toty[...] = z
+            totz[...] = z
+
+        A = (
+            [a_ref[0, i : i + 1] for i in range(nl)],
+            [a_ref[0, nl + i : nl + i + 1] for i in range(nl)],
+            [a_ref[0, 2 * nl + i : 2 * nl + i + 1] for i in range(nl)],
+        )
+        B = (
+            [b_ref[0, i : i + 1] for i in range(nl)],
+            [b_ref[0, nl + i : nl + i + 1] for i in range(nl)],
+            [b_ref[0, 2 * nl + i : 2 * nl + i + 1] for i in range(nl)],
+        )
+        Tb = _general_add(F, A, B)
+        acc = (
+            _split(accx[...], nl),
+            _split(accy[...], nl),
+            _split(accz[...], nl),
+        )
+        acc = _general_add(F, acc, Tb)
+        tot = (
+            _split(totx[...], nl),
+            _split(toty[...], nl),
+            _split(totz[...], nl),
+        )
+        tot = _general_add(F, tot, acc)
+        accx[...] = _join(acc[0])
+        accy[...] = _join(acc[1])
+        accz[...] = _join(acc[2])
+        totx[...] = _join(tot[0])
+        toty[...] = _join(tot[1])
+        totz[...] = _join(tot[2])
+
+        @pl.when(t == L - 1)
+        def _():
+            o_ref[0:nl] = accx[...]
+            o_ref[nl : 2 * nl] = accy[...]
+            o_ref[2 * nl : 3 * nl] = accz[...]
+            o_ref[3 * nl : 4 * nl] = totx[...]
+            o_ref[4 * nl : 5 * nl] = toty[...]
+            o_ref[5 * nl : 6 * nl] = totz[...]
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _suffix_call(p: int, L: int, lw: int, M: int, interpret: bool):
+    nl = field_spec(p).nl
+    kernel = suffix_kernel_factory(p, L, lw, M, compact=interpret)
+    return pl.pallas_call(
+        kernel,
+        grid=(L,),
+        in_specs=[
+            pl.BlockSpec((1, 3 * nl, M), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * nl, M), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((6 * nl, M), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((6 * nl, M), jnp.uint32),
+        scratch_shapes=[pltpu.VMEM((nl, M), jnp.uint32)] * 6,
+        interpret=interpret,
+    )
+
+
+def _suffix_post(p: int, W: int, lw: int, L: int, out6):
+    """XLA epilogue: per-lane weighted combine (tot + base*acc with the
+    static per-lane multiplier base = (lw-1-(lane%lw))*L) followed by the
+    lw-lane tree reduction per window. Returns Jacobian (W, nl) arrays in
+    the jec lane-minor layout."""
+    from .jec import curve_ops
+
+    ops = curve_ops(p)
+    nl = ops.f.nl
+    M = out6.shape[1]
+
+    def lanes(rows):  # (nl, M) limb-major -> (M, nl)
+        return rows.T
+
+    acc = (lanes(out6[0:nl]), lanes(out6[nl : 2 * nl]), lanes(out6[2 * nl : 3 * nl]))
+    tot = (
+        lanes(out6[3 * nl : 4 * nl]),
+        lanes(out6[4 * nl : 5 * nl]),
+        lanes(out6[5 * nl : 6 * nl]),
+    )
+    mult = ((lw - 1) - (np.arange(M) % lw)) * L  # static ints
+    nbits = max(1, int(mult.max())).bit_length()
+    res = ops.infinity((M,))
+    tmp = acc
+    for k in range(nbits):
+        bit = jnp.asarray((mult >> k) & 1, dtype=bool)
+        res = ops.select(bit, ops.add(res, tmp), res)
+        if k + 1 < nbits:
+            tmp = ops.double(tmp)
+    lane_sum = ops.add(tot, res)
+    # tree-reduce lw lanes per window
+    P = tuple(a.reshape(W, lw, nl) for a in lane_sum)
+    s = lw
+    while s > 1:
+        s //= 2
+        left = tuple(a[:, :s] for a in P)
+        right = tuple(a[:, s : 2 * s] for a in P)
+        P = ops.add(left, right)
+    return tuple(a.reshape(W, nl) for a in P)
+
+
+# ---------------------------------------------------------------------------
+# XLA orchestration
+# ---------------------------------------------------------------------------
+
+
+def _signed_digits(scalars: jnp.ndarray, W: int, c: int):
+    """(N, nls) canonical u32 16-bit-limb scalars -> bucket ids (W, N) in
+    [0, 2^(c-1)] (0 = skip) and sign bits (W, N) in {0, 1}."""
+    N, nls = scalars.shape
+    mask = np.uint32((1 << c) - 1)
+    half = np.uint32(1 << (c - 1))
+    full = np.uint32(1 << c)
+    carry = jnp.zeros((N,), jnp.uint32)
+    buckets, signs = [], []
+    for w in range(W):
+        limb = (w * c) // LIMB_BITS
+        sh = np.uint32((w * c) % LIMB_BITS)
+        if limb < nls:
+            raw = (scalars[:, limb] >> sh) & mask
+        else:
+            raw = jnp.zeros((N,), jnp.uint32)
+        t = raw + carry
+        neg = t >= half
+        b = jnp.where(neg, full - t, t)
+        carry = jnp.where(neg, np.uint32(1), np.uint32(0))
+        buckets.append(b)
+        signs.append(neg.astype(jnp.uint32))
+    return jnp.stack(buckets, axis=0), jnp.stack(signs, axis=0)
+
+
+def _plan_shapes(N: int, W: int, cfg: MSMConfig):
+    hb = cfg.hb
+    M1, R, lw2 = cfg.M1, cfg.R, cfg.lw2
+    K1 = N // M1
+    assert K1 * M1 == N and K1 % R == 0, (N, M1, R)
+    step = lw2 * R
+    cap1 = -(-(min(N, hb + M1)) // step) * step
+    # cap2 == cap1 so both merge levels share one walk executable (Mosaic
+    # compiles are ~1.5 min each; the extra walked rows are microseconds)
+    cap2 = cap1
+    M2 = W * lw2
+    K2 = cap1 // lw2
+    K3 = cap2 // lw2
+    L4 = hb // lw2
+    M4 = W * lw2
+    return dict(hb=hb, K1=K1, cap1=cap1, cap2=cap2, M2=M2, K2=K2, K3=K3, L4=L4, M4=M4)
+
+
+def _compact_positions(valid: jnp.ndarray, cap: int):
+    """valid (W, Ncols) bool -> (W, cap) positions of True (ascending),
+    padded with positions of False entries (deterministic, no stability
+    assumption: unique composite sort keys)."""
+    Wn, Ncols = valid.shape
+    g = jnp.broadcast_to(jnp.arange(Ncols, dtype=jnp.int32)[None], (Wn, Ncols))
+    keys = jnp.where(valid, g, g + Ncols)
+    return jnp.argsort(keys, axis=1)[:, :cap].astype(jnp.int32)
+
+
+def _walk_flags(sorted_keys: jnp.ndarray, chunk: int):
+    """Flush/skip flags for a walk over per-window sorted key rows.
+
+    sorted_keys (W, Ncols) u32, key 0 = skip. Flush when the key changes,
+    at each chunk end, and at the row end."""
+    Wn, Ncols = sorted_keys.shape
+    nxt = jnp.concatenate(
+        [sorted_keys[:, 1:], jnp.zeros((Wn, 1), jnp.uint32)], axis=1
+    )
+    flush = sorted_keys != nxt
+    g = jnp.arange(Ncols, dtype=jnp.int32)
+    chunk_end = (g % chunk) == (chunk - 1)
+    flush = jnp.logical_or(flush, chunk_end[None, :])
+    skip = sorted_keys == 0
+    return (
+        flush.astype(jnp.uint32) | (skip.astype(jnp.uint32) << 1),
+        jnp.logical_and(flush, jnp.logical_not(skip)),
+    )
+
+
+def _to_walk(arr_rows: jnp.ndarray, M: int, K: int):
+    """(M*K, width) row-major (lane-chunk-contiguous) -> (K, width, M)."""
+    width = arr_rows.shape[1]
+    return arr_rows.reshape(M, K, width).transpose(1, 2, 0)
+
+
+def _from_walk(o: jnp.ndarray):
+    """Walk output (K, width, M) -> rows (K*M, width), row t*M+m."""
+    K, width, M = o.shape
+    return o.transpose(0, 2, 1).reshape(K * M, width)
+
+
+def _merge_level(p, recs, rbuck, W, cap_in, cap_out, lw2, R, interpret):
+    """One record-merge walk level: (W*cap_in, 3nl) rows sorted by bucket
+    per window (bucket 0 = pad) -> (W*cap_out, 3nl) rows, new buckets."""
+    nl = field_spec(p).nl
+    M2 = W * lw2
+    K2 = cap_in // lw2
+    walk_in = _to_walk(recs, M2, K2)
+    flags2d, valid = _walk_flags(rbuck.reshape(1, W * cap_in), K2)
+    flags_walk = flags2d.reshape(M2, K2).T.reshape(K2 // R, R, M2)
+    call = _walk_call(p, R, M2, K2 // R, "general", True, interpret)
+    O, _ = call(walk_in, flags_walk)
+    OT = _from_walk(O)
+    # positions in per-window record space
+    validw = valid.reshape(W, cap_in)
+    gpos = _compact_positions(validw, cap_out)
+    vtaken = jnp.take_along_axis(validw, gpos, axis=1)
+    rb_w = rbuck.reshape(W, cap_in)
+    new_buck = jnp.where(vtaken, jnp.take_along_axis(rb_w, gpos, axis=1), 0)
+    # walk-output row for per-window record j_l: (j_l% K2)*M2 + w*lw2 + j_l//K2
+    wi = jnp.arange(W, dtype=jnp.int32)[:, None]
+    rows = (gpos % K2) * M2 + wi * lw2 + gpos // K2
+    new_recs = jnp.take(OT, rows.reshape(-1), axis=0)
+    return new_recs, new_buck.reshape(-1)
+
+
+def _msm_device(p, W, N, cfg: MSMConfig, P128, scalars, safe: bool):
+    """Device part of the sorted MSM. Returns (out (3nl, M4) window sums
+    with window w's Jacobian total in lane w*lw2, collision flag scalar)."""
+    nl = field_spec(p).nl
+    sh = _plan_shapes(N, W, cfg)
+    hb, K1, cap1, cap2 = sh["hb"], sh["K1"], sh["cap1"], sh["cap2"]
+    M1, R, lw2 = cfg.M1, cfg.R, cfg.lw2
+    M4, L4 = sh["M4"], sh["L4"]
+
+    buckets, signs = _signed_digits(scalars, W, cfg.c)
+    idx = jnp.broadcast_to(jnp.arange(N, dtype=jnp.uint32)[None], (W, N))
+    payload = idx | (signs << np.uint32(31))
+    sb, sidx = jax.lax.sort((buckets, payload), dimension=1, num_keys=1)
+
+    flags2d, valid = _walk_flags(sb, K1)
+    gpos = _compact_positions(valid, cap1)
+    vtaken = jnp.take_along_axis(valid, gpos, axis=1)
+    rec_buck = jnp.where(vtaken, jnp.take_along_axis(sb, gpos, axis=1), 0)
+
+    l1 = _walk_call(p, R, M1, K1 // R, "mixed", safe, cfg.interpret)
+    rec_list = []
+    coll_any = jnp.zeros((), jnp.uint32)
+    for w in range(W):
+        pidx = (sidx[w] & np.uint32(0x7FFFFFFF)).astype(jnp.int32)
+        sign = sidx[w] >> np.uint32(31)
+        rows = jnp.take(P128, pidx, axis=0)  # (N, 128)
+        x = rows[:, :nl]
+        y = rows[:, nl : 2 * nl]
+        ny = rows[:, 2 * nl : 3 * nl]
+        ysel = jnp.where((sign == 1)[:, None], ny, y)
+        walk_in = _to_walk(jnp.concatenate([x, ysel], axis=1), M1, K1)
+        flags_walk = flags2d[w].reshape(M1, K1).T.reshape(K1 // R, R, M1)
+        O1, coll = l1(walk_in, flags_walk)
+        coll_any = jnp.maximum(coll_any, jnp.max(coll))
+        O1T = _from_walk(O1)
+        rrows = (gpos[w] % K1) * M1 + gpos[w] // K1
+        rec_list.append(jnp.take(O1T, rrows, axis=0))
+    recs = jnp.concatenate(rec_list, axis=0)  # (W*cap1, 3nl)
+
+    recs, rbuck = _merge_level(
+        p, recs, rec_buck.reshape(-1), W, cap1, cap2, lw2, R, cfg.interpret
+    )
+    recs, rbuck = _merge_level(
+        p, recs, rbuck, W, cap2, cap2, lw2, R, cfg.interpret
+    )
+
+    # slotted dense scatter: <= 2 records per bucket after two merges
+    rb_w = rbuck.reshape(W, cap2)
+    prev = jnp.concatenate([jnp.zeros((W, 1), jnp.uint32), rb_w[:, :-1]], axis=1)
+    slot = jnp.logical_and(rb_w == prev, rb_w != 0).astype(jnp.int32)
+    wi = jnp.arange(W, dtype=jnp.int32)[:, None]
+    j = jnp.arange(cap2, dtype=jnp.int32)[None, :]
+    dense_pos = slot * (W * hb) + wi * hb + (hb - rb_w.astype(jnp.int32))
+    dump_pos = 2 * W * hb + wi * cap2 + j
+    pos = jnp.where(rb_w != 0, dense_pos, dump_pos).reshape(-1)
+    table = jnp.zeros((2 * W * hb + W * cap2, 3 * nl), jnp.uint32)
+    table = table.at[pos].set(recs, unique_indices=True)
+
+    A = _to_walk(table[: W * hb], M4, L4)
+    B = _to_walk(table[W * hb : 2 * W * hb], M4, L4)
+    sfx = _suffix_call(p, L4, lw2, M4, cfg.interpret)
+    out6 = sfx(A, B)
+    wX, wY, wZ = _suffix_post(p, W, lw2, L4, out6)
+    return (wX, wY, wZ), coll_any
+
+
+_MSM_JITS = {}
+
+
+def _msm_jit(p, W, N, cfg, safe):
+    key = (p, W, N, cfg, safe)
+    if key not in _MSM_JITS:
+        _MSM_JITS[key] = jax.jit(
+            functools.partial(_msm_device, p, W, N, cfg, safe=safe)
+        )
+    return _MSM_JITS[key]
+
+
+# ---------------------------------------------------------------------------
+# Host-side combine and plan API
+# ---------------------------------------------------------------------------
+
+
+def _host_jac_double(p, P):
+    X1, Y1, Z1 = P
+    if Z1 == 0:
+        return P
+    A = X1 * X1 % p
+    B = Y1 * Y1 % p
+    C = B * B % p
+    D = 2 * ((X1 + B) * (X1 + B) - A - C) % p
+    E = 3 * A % p
+    F = E * E % p
+    X3 = (F - 2 * D) % p
+    Y3 = (E * (D - X3) - 8 * C) % p
+    Z3 = 2 * Y1 * Z1 % p
+    return (X3, Y3, Z3)
+
+
+def _host_jac_add(p, P, Q):
+    X1, Y1, Z1 = P
+    X2, Y2, Z2 = Q
+    if Z1 == 0:
+        return Q
+    if Z2 == 0:
+        return P
+    Z1Z1 = Z1 * Z1 % p
+    Z2Z2 = Z2 * Z2 % p
+    U1 = X1 * Z2Z2 % p
+    U2 = X2 * Z1Z1 % p
+    S1 = Y1 * Z2 * Z2Z2 % p
+    S2 = Y2 * Z1 * Z1Z1 % p
+    if U1 == U2:
+        if S1 == S2:
+            return _host_jac_double(p, P)
+        return (1, 1, 0)
+    H = (U2 - U1) % p
+    Rr = (S2 - S1) % p
+    H2 = 2 * H % p
+    I = H2 * H2 % p
+    J = H * I % p
+    R2 = 2 * Rr % p
+    V = U1 * I % p
+    X3 = (R2 * R2 - J - 2 * V) % p
+    Y3 = (R2 * (V - X3) - 2 * S1 * J) % p
+    Z3 = ((Z1 + Z2) * (Z1 + Z2) - Z1Z1 - Z2Z2) % p * H % p
+    return (X3, Y3, Z3)
+
+
+def _limbs_to_int(row: np.ndarray) -> int:
+    v = 0
+    for i in range(len(row) - 1, -1, -1):
+        v = (v << LIMB_BITS) | int(row[i])
+    return v
+
+
+def msm_sorted_host(p, r_mod, P128, scalars, cfg: MSMConfig | None = None, max_bits: int | None = None):
+    """Full sorted MSM: device pipeline + host window combine.
+
+    P128: (N, 128) u32 packed points [x|y|negy|pad] in Montgomery limbs.
+    scalars: (N, nls) u32 canonical limbs. Returns host Jacobian ints
+    (X, Y, Z) with coordinates in canonical (non-Montgomery) form.
+    """
+    N = P128.shape[0]
+    cfg = cfg or default_config(N)
+    W = _windows(r_mod, cfg.c)
+    if max_bits is not None:
+        W = min(W, -(-max_bits // cfg.c) + 1)
+    if cfg.interpret:
+        # eager execution: XLA:CPU compile of the full fused graph is far
+        # slower than op-by-op interpretation at test sizes
+        out, coll = _msm_device(p, W, N, cfg, P128, scalars, safe=False)
+    else:
+        out, coll = _msm_jit(p, W, N, cfg, False)(P128, scalars)
+    coll = int(jax.device_get(coll))
+    if coll:
+        if cfg.interpret:
+            out, _ = _msm_device(p, W, N, cfg, P128, scalars, safe=True)
+        else:
+            out, _ = _msm_jit(p, W, N, cfg, True)(P128, scalars)
+    return combine_windows(p, r_mod, jax.device_get(out), W, cfg)
+
+
+def combine_windows(p, r_mod, wXYZ, W: int, cfg: MSMConfig):
+    """Window sums ((W, nl) Montgomery arrays) -> host Jacobian ints."""
+    spec = field_spec(p)
+    rinv = pow(spec.r, -1, p)
+    wX, wY, wZ = (np.asarray(a) for a in wXYZ)
+    acc = (1, 1, 0)
+    for w in range(W - 1, -1, -1):
+        for _ in range(cfg.c):
+            acc = _host_jac_double(p, acc)
+        X = _limbs_to_int(wX[w]) * rinv % p
+        Y = _limbs_to_int(wY[w]) * rinv % p
+        Z = _limbs_to_int(wZ[w]) * rinv % p
+        acc = _host_jac_add(p, acc, (X, Y, Z))
+    return acc
+
+
+def pack_points(p, X, Y):
+    """Device mont limb arrays (N, nl) -> packed (N, 128) u32 rows
+    [x|y|negy|0-pad] (the measured-fast 512-byte gather row)."""
+    from ..fields.jfield import field_ops
+
+    f = field_ops(p)
+    nl = f.nl
+    N = X.shape[0]
+    ny = f.neg_(Y)
+    pad = jnp.zeros((N, 128 - 3 * nl), jnp.uint32)
+    return jnp.concatenate([X, Y, ny, pad], axis=1)
+
+
+def pad_msm_inputs(p, X, Y, scalars, min_n: int = 1 << 12):
+    """Pad N to the next power-of-two tier (>= min_n). Padding scalars are
+    zero (bucket 0 -> skipped)."""
+    n = X.shape[0]
+    N = max(min_n, 1 << (n - 1).bit_length())
+    if N != n:
+        zpts = jnp.zeros((N - n, X.shape[1]), jnp.uint32)
+        zsc = jnp.zeros((N - n, scalars.shape[1]), jnp.uint32)
+        X = jnp.concatenate([X, zpts], axis=0)
+        Y = jnp.concatenate([Y, zpts], axis=0)
+        scalars = jnp.concatenate([scalars, zsc], axis=0)
+    return X, Y, scalars

@@ -41,17 +41,27 @@ class _F:
     All methods are pure jnp and unrolled — usable inside a Pallas kernel.
     """
 
-    def __init__(self, p: int):
+    def __init__(self, p: int, compact: bool = False):
         spec = field_spec(p)
         self.nl = spec.nl
         self.n0inv = np.uint32(spec.n0inv)
         self.p_rows = [np.uint32(v) for v in spec.p_limbs]  # python scalars
         self.r_rows = [np.uint32(v) for v in spec.r_limbs]
+        # compact=True swaps the unrolled CIOS loop for a lax.scan: O(1)
+        # trace size. Used by interpret-mode tests — the unrolled form
+        # makes XLA:CPU compiles of a whole kernel take minutes.
+        self.compact = compact
 
     # -- normalization ----------------------------------------------------
     def carry_sweep(self, rows):
         """rows: list of nl (1,B) uint32 columns (< 2^32) -> normalized
         rows + carry (1,B)."""
+        if self.compact:
+            def body(carry, r):
+                s = r + carry
+                return s >> LIMB_BITS, s & _MASK
+            carry, out = jax.lax.scan(body, jnp.zeros_like(rows[0]), jnp.stack(rows))
+            return [out[i] for i in range(self.nl)], carry
         out = []
         carry = jnp.zeros_like(rows[0])
         for r in rows:
@@ -62,6 +72,16 @@ class _F:
 
     def cond_sub_p(self, rows, hi):
         """rows (< 2p with hi overflow bit) -> rows mod p."""
+        if self.compact:
+            def body(borrow, rp):
+                r, pv = rp
+                d = (r + _B16) - pv - borrow
+                return jnp.where((d >> LIMB_BITS) == 0, np.uint32(1), np.uint32(0)), d & _MASK
+            borrow, diff = jax.lax.scan(
+                body, jnp.zeros_like(rows[0]), (jnp.stack(rows), self._p_stack)
+            )
+            use = jnp.logical_or(hi > 0, borrow == 0)
+            return [jnp.where(use, diff[i], rows[i]) for i in range(self.nl)]
         diff = []
         borrow = jnp.zeros_like(rows[0])
         for i in range(self.nl):
@@ -81,6 +101,15 @@ class _F:
         is_zero = a[0] == 0
         for r in a[1:]:
             is_zero = jnp.logical_and(is_zero, r == 0)
+        if self.compact:
+            def body(borrow, pr):
+                pv, x = pr
+                d = (pv + _B16) - x - borrow
+                return jnp.where((d >> LIMB_BITS) == 0, np.uint32(1), np.uint32(0)), d & _MASK
+            _, out = jax.lax.scan(
+                body, jnp.zeros_like(a[0]), (self._p_stack, jnp.stack(a))
+            )
+            return [jnp.where(is_zero, a[i], out[i]) for i in range(self.nl)]
         out = []
         borrow = jnp.zeros_like(a[0])
         for i in range(self.nl):
@@ -101,9 +130,9 @@ class _F:
         lanes = B.shape[1]
         p_col = self.p_col(lanes)
         zrow = jnp.zeros((1, lanes), jnp.uint32)
-        t = jnp.zeros((nl + 1, lanes), jnp.uint32)
-        for i in range(nl):
-            prod = a[i] * B                             # (nl, lanes)
+
+        def step(t, ai):
+            prod = ai * B                               # (nl, lanes)
             lo = jnp.concatenate([prod & _MASK, zrow], axis=0)
             hi = jnp.concatenate([zrow, prod >> LIMB_BITS], axis=0)
             t = t + lo + hi
@@ -113,7 +142,17 @@ class _F:
             hi2 = jnp.concatenate([zrow, prod2 >> LIMB_BITS], axis=0)
             t = t + lo2 + hi2
             carry = t[0:1] >> LIMB_BITS
-            t = jnp.concatenate([t[1:2] + carry, t[2:], zrow], axis=0)
+            return jnp.concatenate([t[1:2] + carry, t[2:], zrow], axis=0)
+
+        t = jnp.zeros((nl + 1, lanes), jnp.uint32)
+        if self.compact:
+            A = jnp.concatenate(a, axis=0)              # (nl, lanes)
+            t, _ = jax.lax.scan(
+                lambda t, ai: (step(t, ai[None]), None), t, A
+            )
+        else:
+            for i in range(nl):
+                t = step(t, a[i])
         rows, carry = self.carry_sweep([t[i : i + 1] for i in range(nl)])
         return self.cond_sub_p(rows, carry + t[nl : nl + 1])
 
@@ -124,6 +163,11 @@ class _F:
         self._p_col = jnp.concatenate(
             [jnp.full((1, lanes), v, jnp.uint32) for v in self.p_rows], axis=0
         )
+        if self.compact:
+            # (nl, 1, lanes) stacked view for the lax.scan carry chains
+            self._p_stack = jnp.stack(
+                [jnp.full((1, lanes), v, jnp.uint32) for v in self.p_rows]
+            )
 
     def p_col(self, lanes):
         return self._p_col

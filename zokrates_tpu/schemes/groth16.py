@@ -1,26 +1,34 @@
-"""Groth16 setup / prove / verify, TPU-first.
+"""Groth16 setup / prove / verify, TPU-first and device-resident.
 
 The reference delegates all of this to arkworks (zokrates_ark/src/groth16.rs)
 or bellman (zokrates_bellman); here the algorithm is assembled from our own
-kernels:
+kernels, with every hot stage on device:
 
-  * QAP reduction on the 2-adic domain sized next_pow2(constraints +
-    instance_count), with the instance-binding rows ark-groth16 appends
-    (A[nc+j] = z_j) so public inputs are bound in the A polynomial,
-  * h(X) = (A·B - C)/Z computed as device NTT round-trips on a coset of the
-    vanishing domain (Z is constant on the coset),
-  * proof point MSMs (A/B1/B2/C/H queries) on device via kernels/msm.py —
-    G2 runs the same Pippenger over Fq2 limbs,
-  * verification via the host pairing-product oracle (4 Miller loops).
+  * setup evaluates the QAP at tau on the host (sparse integer sums) but
+    produces every pk/vk group element with the *device* fixed-base MSM
+    (kernels/fixed_base.py — window tables + batched mixed adds + batch
+    inversion), not per-element host ladders,
+  * the pk stores points pre-packed in the MSM kernel's layout
+    ((N, 128) uint32 rows [x|y|-y|pad], Montgomery limbs), so proving
+    never touches host point math,
+  * proving evaluates A·z / B·z / C·z as device COO sparse matvecs
+    (ir/r1cs_device.py), computes h(X) = (A·B - C)/Z with device coset
+    NTT round-trips, converts h out of Montgomery form *on device*, and
+    feeds the sort-based Pallas MSM (kernels/msm_sorted.py) — the only
+    host work is the final ~16 window-combine point additions,
+  * verification uses the host pairing-product oracle (4 Miller loops).
 
 Proof/VK JSON is byte-compatible with zokrates_proof_systems/scheme/
 groth16.rs {a,b,c} / {alpha,beta,gamma,delta,gamma_abc}.
+
+Prove call stack mirrors /root/reference/zokrates_ark/src/groth16.rs:21-52
+(witness map -> h via iNTT/coset NTT -> MSMs A,B1,B2,C,H).
 """
 
 from __future__ import annotations
 
+import os
 import secrets
-from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -30,8 +38,9 @@ import numpy as np
 from ..ec.curve import PointG1, PointG2, g1_group, g2_group
 from ..ec.pairing import pairing_product_is_one
 from ..fields import params as P
-from ..fields.limbs import ints_to_limbs, n_limbs
+from ..fields.limbs import ints_to_limbs, limbs_to_ints, n_limbs
 from ..ir.r1cs import R1CS
+from ..ir.r1cs_device import R1CSDevice
 from ..ir.witness import Witness
 from ..kernels.jec import curve_ops, curve_ops_g2
 from ..kernels.msm import msm_jit
@@ -52,21 +61,168 @@ def _next_pow2(n: int) -> int:
     return 1 << max(1, (n - 1).bit_length())
 
 
-@dataclass
+def _msm_backend() -> str:
+    """'sorted' (Pallas, default on TPU) or 'xla' (default on CPU tests —
+    interpret-mode Pallas compiles are minutes each on XLA:CPU)."""
+    mode = os.environ.get("ZOKRATES_TPU_MSM", "auto")
+    if mode != "auto":
+        return mode
+    return "sorted" if jax.default_backend() == "tpu" else "xla"
+
+
+# ---------------------------------------------------------------------------
+# Proving key
+# ---------------------------------------------------------------------------
+
+
 class ProvingKey:
-    curve: str
-    domain_size: int
-    num_instance: int
-    alpha_g1: PointG1
-    beta_g1: PointG1
-    beta_g2: object
-    delta_g1: PointG1
-    delta_g2: object
-    a_query: List[Optional[Tuple[int, int]]]       # affine or None (zero poly)
-    b_g1_query: List[Optional[Tuple[int, int]]]
-    b_g2_query: List[Optional[object]]
-    h_query: List[Tuple[int, int]]
-    l_query: List[Optional[Tuple[int, int]]]
+    """Groth16 proving key with queries pre-packed for the device MSM.
+
+    Layout per G1 query: (n, 128) uint32 rows [x | y | -y | zero-pad]
+    (Montgomery limbs) + a bool mask (False = zero polynomial, i.e. the
+    reference's absent query element). G2 queries keep (n, 2, nl)
+    Montgomery coordinate arrays for the XLA G2 Pippenger.
+
+    Everything is numpy (pickle-friendly); device copies are cached
+    per-process on first prove.
+    """
+
+    def __init__(
+        self,
+        curve: str,
+        domain_size: int,
+        num_instance: int,
+        alpha_g1: PointG1,
+        beta_g1: PointG1,
+        beta_g2,
+        delta_g1: PointG1,
+        delta_g2,
+        a_p128: np.ndarray,
+        a_mask: np.ndarray,
+        b1_p128: np.ndarray,
+        b1_mask: np.ndarray,
+        b2_x: np.ndarray,
+        b2_y: np.ndarray,
+        b2_mask: np.ndarray,
+        h_p128: np.ndarray,
+        l_p128: np.ndarray,
+        l_mask: np.ndarray,
+    ):
+        self.curve = curve
+        self.domain_size = domain_size
+        self.num_instance = num_instance
+        self.alpha_g1 = alpha_g1
+        self.beta_g1 = beta_g1
+        self.beta_g2 = beta_g2
+        self.delta_g1 = delta_g1
+        self.delta_g2 = delta_g2
+        self.a_p128 = a_p128
+        self.a_mask = a_mask
+        self.b1_p128 = b1_p128
+        self.b1_mask = b1_mask
+        self.b2_x = b2_x
+        self.b2_y = b2_y
+        self.b2_mask = b2_mask
+        self.h_p128 = h_p128
+        self.l_p128 = l_p128
+        self.l_mask = l_mask
+        self._dev: Dict = {}
+
+    def __getstate__(self):
+        d = dict(self.__dict__)
+        d["_dev"] = {}
+        return d
+
+    def __setstate__(self, d):
+        self.__dict__.update(d)
+        self._dev = {}
+
+    # -- host-point views (MPC ceremony mutates these) ---------------------
+    def _unpack_g1(self, p128: np.ndarray, mask=None) -> List[Optional[Tuple[int, int]]]:
+        q = P.BASE_FIELDS[self.curve].p
+        from ..fields.jfield import field_ops
+
+        f = field_ops(q)
+        nl = f.nl
+        arr = jnp.asarray(p128[:, : 2 * nl])
+        xs = f.decode(arr[:, :nl])
+        ys = f.decode(arr[:, nl : 2 * nl])
+        out: List[Optional[Tuple[int, int]]] = []
+        for i in range(len(xs)):
+            if mask is not None and not mask[i]:
+                out.append(None)
+            else:
+                out.append((xs[i], ys[i]))
+        return out
+
+    def _pack_g1(self, pts: Sequence[Optional[Tuple[int, int]]]):
+        return _pack_query(self.curve, pts)
+
+    @property
+    def h_query(self) -> List[Tuple[int, int]]:
+        return self._unpack_g1(self.h_p128)
+
+    @h_query.setter
+    def h_query(self, pts):
+        self.h_p128, _ = _pack_query(self.curve, pts)
+        self._dev.clear()
+
+    @property
+    def l_query(self) -> List[Optional[Tuple[int, int]]]:
+        return self._unpack_g1(self.l_p128, self.l_mask)
+
+    @l_query.setter
+    def l_query(self, pts):
+        self.l_p128, self.l_mask = _pack_query(self.curve, pts)
+        self._dev.clear()
+
+    # -- device cache -------------------------------------------------------
+    def dev(self):
+        if not self._dev:
+            self._dev = {
+                "a": jnp.asarray(self.a_p128),
+                "a_mask": jnp.asarray(self.a_mask),
+                "b1": jnp.asarray(self.b1_p128),
+                "b1_mask": jnp.asarray(self.b1_mask),
+                "b2_x": jnp.asarray(self.b2_x),
+                "b2_y": jnp.asarray(self.b2_y),
+                "b2_mask": jnp.asarray(self.b2_mask),
+                "h": jnp.asarray(self.h_p128),
+                "l": jnp.asarray(self.l_p128),
+                "l_mask": jnp.asarray(self.l_mask),
+            }
+        return self._dev
+
+
+def _pack_query(curve: str, pts: Sequence[Optional[Tuple[int, int]]]):
+    """Host affine points (None = zero poly) -> packed rows + mask."""
+    from ..fields.jfield import field_ops
+    from ..kernels.msm_sorted import pack_points
+
+    q = P.BASE_FIELDS[curve].p
+    f = field_ops(q)
+    mask = np.asarray([pt is not None for pt in pts], dtype=bool)
+    xs = [pt[0] if pt else 0 for pt in pts]
+    ys = [pt[1] if pt else 0 for pt in pts]
+    X = f.encode(xs)
+    Y = f.encode(ys)
+    p128 = np.asarray(jax.device_get(pack_points(q, X, Y)))
+    return p128, mask
+
+
+def _pack_from_device(curve: str, ax, ay, inf):
+    """Device affine Montgomery coords + inf mask -> packed rows + mask."""
+    from ..kernels.msm_sorted import pack_points
+
+    q = P.BASE_FIELDS[curve].p
+    p128 = np.asarray(jax.device_get(pack_points(q, ax, ay)))
+    mask = ~np.asarray(jax.device_get(inf))
+    return p128, mask
+
+
+# ---------------------------------------------------------------------------
+# Setup
+# ---------------------------------------------------------------------------
 
 
 def _lagrange_at_tau(p: int, n: int, omega: int, tau: int) -> List[int]:
@@ -103,6 +259,44 @@ def _qap_evals_at_tau(r1cs: R1CS, n: int, lag: List[int], p: int):
     return a_t, b_t, c_t
 
 
+def _fb_g1(curve: str, scalars: List[int]):
+    """Device fixed-base s_i*G1 -> (packed rows, mask) numpy."""
+    from ..kernels.fixed_base import batch_normalize, fixed_base_for
+
+    grp = g1_group(curve)
+    fb = fixed_base_for(curve, "g1")
+    S = jnp.asarray(ints_to_limbs([s % grp.r for s in scalars], n_limbs(grp.r)))
+    ax, ay, inf = fb.to_affine(S)
+    return _pack_from_device(curve, ax, ay, inf)
+
+
+def _fb_g1_points(curve: str, scalars: List[int]) -> List[Optional[PointG1]]:
+    """Device fixed-base -> host points (for the few vk elements)."""
+    from ..kernels.fixed_base import fixed_base_for
+
+    grp = g1_group(curve)
+    fb = fixed_base_for(curve, "g1")
+    S = jnp.asarray(ints_to_limbs([s % grp.r for s in scalars], n_limbs(grp.r)))
+    ops = fb.ops
+    aff = ops.to_affine_ints(fb(S))
+    return [None if a is None else PointG1(grp, a[0], a[1]) for a in aff]
+
+
+def _fb_g2(curve: str, scalars: List[int]):
+    """Device fixed-base s_i*G2 -> (x, y (n,2,nl) Montgomery, mask) numpy."""
+    from ..kernels.fixed_base import batch_normalize, fixed_base_for
+
+    grp = g2_group(curve)
+    fb = fixed_base_for(curve, "g2")
+    S = jnp.asarray(ints_to_limbs([s % grp.r for s in scalars], n_limbs(grp.r)))
+    ax, ay, inf = fb.to_affine(S)
+    return (
+        np.asarray(jax.device_get(ax)),
+        np.asarray(jax.device_get(ay)),
+        ~np.asarray(jax.device_get(inf)),
+    )
+
+
 def setup(r1cs: R1CS, rng=None) -> Tuple[ProvingKey, VerificationKey]:
     curve = r1cs.curve
     p = P.SCALAR_FIELDS[curve].p
@@ -126,30 +320,33 @@ def setup(r1cs: R1CS, rng=None) -> Tuple[ProvingKey, VerificationKey]:
 
     m = r1cs.num_variables
 
-    def g1_mul(s):
-        return (g1 * s) if s else None
-
-    def g2_mul(s):
-        return (g2 * s) if s else None
-
-    a_query = [g1_mul(a_t[i]) for i in range(m)]
-    b_g1_query = [g1_mul(b_t[i]) for i in range(m)]
-    b_g2_query = [g2_mul(b_t[i]) for i in range(m)]
-
-    # h query: tau^j * Z(tau) / delta for j in 0..n-2
-    h_query = []
+    # h query scalars: tau^j * Z(tau) / delta, j in 0..n-2
+    h_s = []
     tp = z_tau * delta_inv % p
     for _ in range(n - 1):
-        h_query.append(g1 * tp)
+        h_s.append(tp)
         tp = tp * tau % p
 
-    l_query = [
-        g1_mul((beta * a_t[i] + alpha * b_t[i] + c_t[i]) % p * delta_inv % p)
+    l_s = [
+        (beta * a_t[i] + alpha * b_t[i] + c_t[i]) % p * delta_inv % p
         for i in range(ni, m)
     ]
-    gamma_abc = [
-        g1 * ((beta * a_t[i] + alpha * b_t[i] + c_t[i]) % p * gamma_inv % p)
+    abc_s = [
+        (beta * a_t[i] + alpha * b_t[i] + c_t[i]) % p * gamma_inv % p
         for i in range(ni)
+    ]
+
+    a_p128, a_mask = _fb_g1(curve, a_t)
+    b1_p128, b1_mask = _fb_g1(curve, b_t)
+    h_p128, _ = _fb_g1(curve, h_s)
+    l_p128, l_mask = _fb_g1(curve, l_s)
+    b2_x, b2_y, b2_mask = _fb_g2(curve, b_t)
+
+    gamma_abc = _fb_g1_points(curve, abc_s)
+    # vk points must be affine non-None; abc scalars are nonzero w.h.p. but
+    # guard the degenerate case by host math
+    gamma_abc = [
+        pt if pt is not None else g1_group(curve).zero() for pt in gamma_abc
     ]
 
     pk = ProvingKey(
@@ -161,11 +358,16 @@ def setup(r1cs: R1CS, rng=None) -> Tuple[ProvingKey, VerificationKey]:
         beta_g2=g2 * beta,
         delta_g1=g1 * delta,
         delta_g2=g2 * delta,
-        a_query=[(pt.x, pt.y) if pt else None for pt in a_query],
-        b_g1_query=[(pt.x, pt.y) if pt else None for pt in b_g1_query],
-        b_g2_query=b_g2_query,
-        h_query=[(pt.x, pt.y) for pt in h_query],
-        l_query=[(pt.x, pt.y) if pt else None for pt in l_query],
+        a_p128=a_p128,
+        a_mask=a_mask,
+        b1_p128=b1_p128,
+        b1_mask=b1_mask,
+        b2_x=b2_x,
+        b2_y=b2_y,
+        b2_mask=b2_mask,
+        h_p128=h_p128,
+        l_p128=l_p128,
+        l_mask=l_mask,
     )
     vk = VerificationKey(
         "g16",
@@ -182,7 +384,7 @@ def setup(r1cs: R1CS, rng=None) -> Tuple[ProvingKey, VerificationKey]:
 
 
 # ---------------------------------------------------------------------------
-# Proving
+# Legacy helpers (shared with gm17/kzg/nova; host-point API)
 # ---------------------------------------------------------------------------
 
 
@@ -209,7 +411,7 @@ def _pad_pairs(pairs):
 
 
 def _msm_g1(curve: str, points: List[Optional[Tuple[int, int]]], scalars: List[int], c: int = None) -> PointG1:
-    """Device G1 MSM; drops None points (zero polynomials)."""
+    """Device G1 MSM over host point lists; drops None points (zero polys)."""
     grp = g1_group(curve)
     pairs = [(pt, s % grp.r) for pt, s in zip(points, scalars) if pt is not None and s % grp.r != 0]
     if not pairs:
@@ -250,79 +452,218 @@ def _msm_g2(curve: str, points: List[Optional[object]], scalars: List[int], c: i
 
 
 def compute_h(r1cs: R1CS, z: Sequence[int], n: int) -> List[int]:
-    """Coefficients of h(X) = (A(X)B(X) - C(X)) / Z(X), via coset NTTs."""
+    """Coefficients of h(X) = (A(X)B(X) - C(X)) / Z(X), via coset NTTs.
+    Host-z variant kept for gm17; the Groth16 prover uses _h_stage."""
     curve = r1cs.curve
     p = P.SCALAR_FIELDS[curve].p
+    nls = n_limbs(p)
+    z_can = jnp.asarray(ints_to_limbs([v % p for v in z], nls))
+    dev = _r1cs_device(r1cs, n)
+    h_can = _h_stage(curve, n)(
+        *_coo_args(dev), jnp.asarray(z_can)
+    )
+    return limbs_to_ints(np.asarray(jax.device_get(h_can)))[: n - 1]
+
+
+# ---------------------------------------------------------------------------
+# Device prove pipeline
+# ---------------------------------------------------------------------------
+
+_R1CS_DEV_CACHE: Dict = {}
+
+
+def _r1cs_device(r1cs: R1CS, n: int) -> R1CSDevice:
+    key = (id(r1cs), n)
+    dev = _R1CS_DEV_CACHE.get(key)
+    if dev is None:
+        dev = R1CSDevice.build(r1cs, n)
+        _R1CS_DEV_CACHE[key] = dev
+    return dev
+
+
+def _coo_args(dev: R1CSDevice):
+    return (
+        dev.A.rows, dev.A.cols, dev.A.coeff,
+        dev.B.rows, dev.B.cols, dev.B.coeff,
+        dev.C.rows, dev.C.cols, dev.C.coeff,
+    )
+
+
+_H_JIT: Dict = {}
+
+
+def _h_stage(curve: str, n: int):
+    """Jitted z -> h(X) canonical limbs: to_mont, 3 sparse matvecs, QAP
+    coset-NTT division, from_mont. COO arrays are runtime args (not baked
+    constants) so one executable serves every circuit of domain size n."""
+    key = (curve, n)
+    fn = _H_JIT.get(key)
+    if fn is not None:
+        return fn
+
+    p = P.SCALAR_FIELDS[curve].p
+    from ..fields.jfield import field_ops
+
+    f = field_ops(p)
     dom = domain_for_curve(curve, n)
-    nc, ni = r1cs.num_constraints, r1cs.num_instance
-
-    a_e = _matrix_evals(r1cs.A, z, n, p)
-    b_e = _matrix_evals(r1cs.B, z, n, p)
-    c_e = _matrix_evals(r1cs.C, z, n, p)
-    for j in range(ni):
-        a_e[nc + j] = z[j] % p
-
-    f = dom.ops
-    A = f.encode(a_e)
-    B = f.encode(b_e)
-    C = f.encode(c_e)
-
     g = P.SCALAR_FIELDS[curve].smallest_nonresidue
     z_on_coset_inv = pow((pow(g, n, p) - 1) % p, -1, p)
-    zinv_mont = f.encode_scalar(z_on_coset_inv)
     dom.warm_coset(g)
+    zinv_mont = f.encode_scalar(z_on_coset_inv)
 
-    def pipeline(A, B, C):
-        a_c = dom.ifft(A)
-        b_c = dom.ifft(B)
-        c_c = dom.ifft(C)
+    import jax.ops
+
+    def matvec(rows, cols, coeff, z_mont):
+        vals = f.mul_(coeff, jnp.take(z_mont, cols, axis=0))
+        sums = jax.ops.segment_sum(
+            vals, rows, num_segments=n, indices_are_sorted=True
+        )
+        return f.reduce_wide_(sums)
+
+    def pipeline(ar, ac, av, br, bc, bv, cr, cc, cv, z_can):
+        z_mont = f.to_mont_(z_can)
+        a_e = matvec(ar, ac, av, z_mont)
+        b_e = matvec(br, bc, bv, z_mont)
+        c_e = matvec(cr, cc, cv, z_mont)
+        a_c = dom.ifft(a_e)
+        b_c = dom.ifft(b_e)
+        c_c = dom.ifft(c_e)
         a_cs = dom.coset_fft(a_c, g)
         b_cs = dom.coset_fft(b_c, g)
         c_cs = dom.coset_fft(c_c, g)
         h_cs = f.mul_(f.sub_(f.mul_(a_cs, b_cs), c_cs), zinv_mont)
-        return dom.coset_ifft(h_cs, g)
+        h = dom.coset_ifft(h_cs, g)
+        return f.from_mont_(h)
 
-    key = ("g16_h", curve, n)
-    if key not in _H_JIT:
-        _H_JIT[key] = jax.jit(pipeline)
-    h = _H_JIT[key](A, B, C)
-    coeffs = f.decode(h)
-    # degree <= n-2: the last coefficient must vanish
-    return coeffs[: n - 1]
+    fn = jax.jit(pipeline)
+    _H_JIT[key] = fn
+    return fn
 
 
-_H_JIT: Dict = {}
+def _msm_packed_g1(curve: str, P128, S, mask=None) -> PointG1:
+    """G1 MSM: packed device rows x canonical-limb device scalars.
+
+    Pads to the kernel's power-of-two tier; masked/padded slots get scalar
+    zero (bucket 0 is skipped by both backends)."""
+    grp = g1_group(curve)
+    N = P128.shape[0]
+    m = S.shape[0]
+    assert m <= N, (m, N)
+    if mask is not None:
+        S = jnp.where(mask[:m, None], S, 0)
+    if m < N:
+        S = jnp.pad(S, ((0, N - m), (0, 0)))
+
+    if _msm_backend() == "sorted":
+        from ..kernels.msm_sorted import default_config, msm_sorted_host
+
+        cfg = default_config(N, interpret=jax.default_backend() != "tpu")
+        need = cfg.M1 * cfg.R
+        if N % need:
+            full = -(-N // need) * need
+            P128 = jnp.pad(P128, ((0, full - N), (0, 0)))
+            S = jnp.pad(S, ((0, full - N), (0, 0)))
+        jx, jy, jz = msm_sorted_host(grp.q, grp.r, P128, S, cfg)
+        if jz == 0:
+            return grp.zero()
+        q = grp.q
+        zinv = pow(jz, -1, q)
+        return PointG1(grp, jx * zinv * zinv % q, jy * zinv * zinv % q * zinv % q)
+
+    ops = curve_ops(grp.q)
+    nl = ops.f.nl
+    Px = P128[:, :nl]
+    Py = P128[:, nl : 2 * nl]
+    res = msm_jit(ops, _auto_c(N))(Px, Py, S)
+    aff = ops.to_affine_ints((res[0][None], res[1][None], res[2][None]))[0]
+    return grp.zero() if aff is None else PointG1(grp, aff[0], aff[1])
+
+
+def _msm_dev_g2(curve: str, Px, Py, S, mask=None) -> PointG2:
+    grp = g2_group(curve)
+    N = Px.shape[0]
+    m = S.shape[0]
+    if mask is not None:
+        S = jnp.where(mask[:m, None], S, 0)
+    if m < N:
+        S = jnp.pad(S, ((0, N - m), (0, 0)))
+    ops = curve_ops_g2(curve)
+    res = msm_jit(ops, _auto_c(N))(Px, Py, S)
+    aff = ops.to_affine_ints((res[0][None], res[1][None], res[2][None]))[0]
+    if aff is None:
+        return grp.zero()
+    from ..ec.tower import Fq2
+
+    return PointG2(
+        grp,
+        Fq2(grp.tower, aff[0][0], aff[0][1]),
+        Fq2(grp.tower, aff[1][0], aff[1][1]),
+    )
+
+
+def _pad_rows(arr: np.ndarray, N: int) -> np.ndarray:
+    if arr.shape[0] == N:
+        return arr
+    pad = [(0, N - arr.shape[0])] + [(0, 0)] * (arr.ndim - 1)
+    return np.pad(arr, pad)
+
+
+def _msm_tier(n: int) -> int:
+    """Pad MSM sizes to pow2 so kernel compilations are shared across
+    circuits. The sorted Pallas backend additionally requires its own
+    minimum (handled by pad inside _msm_packed_g1 via kernel config)."""
+    return max(4, _next_pow2(n))
 
 
 def prove(r1cs: R1CS, pk: ProvingKey, witness: Witness, rng=None) -> Proof:
     curve = r1cs.curve
     p = P.SCALAR_FIELDS[curve].p
     rand = rng or (lambda: secrets.randbelow(p))
-    g1 = g1_group(curve)
-    g2grp = g2_group(curve)
+    g1grp = g1_group(curve)
 
-    z = r1cs.full_assignment(witness)
-    z = [v % p for v in z]
+    z = [v % p for v in r1cs.full_assignment(witness)]
     n = pk.domain_size
     ni = pk.num_instance
+    m = len(z)
+    nls = n_limbs(p)
 
-    h = compute_h(r1cs, z, n)
+    z_can = jnp.asarray(ints_to_limbs(z, nls))
+
+    dev = _r1cs_device(r1cs, n)
+    h_can = _h_stage(curve, n)(*_coo_args(dev), z_can)[: n - 1]
+
+    # device queries, padded to shared tiers
+    d = pk.dev()
+    tier_m = _msm_tier(m)
+    tier_h = _msm_tier(n - 1)
+    tier_l = _msm_tier(max(1, m - ni))
+    for key, src, tier in (
+        ("a_pad", pk.a_p128, tier_m),
+        ("b1_pad", pk.b1_p128, tier_m),
+        ("h_pad", pk.h_p128, tier_h),
+        ("l_pad", pk.l_p128, tier_l),
+        ("b2x_pad", pk.b2_x, tier_m),
+        ("b2y_pad", pk.b2_y, tier_m),
+    ):
+        if key not in d:
+            d[key] = jnp.asarray(_pad_rows(src, tier))
 
     r, s = rand(), rand()
 
-    a_acc = _msm_g1(curve, pk.a_query, z)
-    b1_acc = _msm_g1(curve, pk.b_g1_query, z)
-    b2_acc = _msm_g2(curve, pk.b_g2_query, z)
+    a_acc = _msm_packed_g1(curve, d["a_pad"], z_can, d["a_mask"])
+    b1_acc = _msm_packed_g1(curve, d["b1_pad"], z_can, d["b1_mask"])
+    b2_acc = _msm_dev_g2(curve, d["b2x_pad"], d["b2y_pad"], z_can, d["b2_mask"])
+    l_acc = _msm_packed_g1(curve, d["l_pad"], z_can[ni:], d["l_mask"])
+    h_acc = _msm_packed_g1(curve, d["h_pad"], h_can)
 
-    A = pk.alpha_g1 + a_acc + pk.delta_g1 * r
-    B1 = pk.beta_g1 + b1_acc + pk.delta_g1 * s
+    delta_g1 = pk.delta_g1
+
+    A = pk.alpha_g1 + a_acc + delta_g1 * r
+    B1 = pk.beta_g1 + b1_acc + delta_g1 * s
     B2 = pk.beta_g2 + b2_acc + pk.delta_g2 * s
 
-    l_acc = _msm_g1(curve, pk.l_query, z[ni:])
-    h_acc = _msm_g1(curve, pk.h_query, h)
-
     rs = r * s % p
-    C = l_acc + h_acc + A * s + B1 * r - pk.delta_g1 * rs
+    C = l_acc + h_acc + A * s + B1 * r - delta_g1 * rs
 
     inputs = [fr_to_json(z[i], curve) for i in range(1, ni)]
     return Proof(

@@ -435,6 +435,15 @@ def _msm_g2(curve: str, points: List[Optional[object]], scalars: List[int], c: i
         return grp.zero()
     pairs = _pad_pairs(pairs)
     c = c or _auto_c(len(pairs))
+    if not hasattr(pairs[0][0].x, "c0"):
+        # BW6-style G2 over the base field: same ops as G1 (a=0 formulas)
+        ops = curve_ops(grp.q)
+        Px = ops.f.encode([pt.x for pt, _ in pairs])
+        Py = ops.f.encode([pt.y for pt, _ in pairs])
+        S = jnp.asarray(ints_to_limbs([s for _, s in pairs], n_limbs(grp.r)))
+        res = msm_jit(ops, c)(Px, Py, S)
+        aff = ops.to_affine_ints((res[0][None], res[1][None], res[2][None]))[0]
+        return grp.zero() if aff is None else grp.point(aff[0], aff[1])
     ops = curve_ops_g2(curve)
     Px = ops.f.encode([(pt.x.c0, pt.x.c1) for pt, _ in pairs])
     Py = ops.f.encode([(pt.y.c0, pt.y.c1) for pt, _ in pairs])

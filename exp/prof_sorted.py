@@ -28,13 +28,21 @@ P128 = jnp.asarray(rng.randint(0, 1 << 16, (N, 128)).astype(np.uint32))
 scal = [int.from_bytes(rng.bytes(32), "big") % r_mod for _ in range(N)]
 S = jnp.asarray(ints_to_limbs(scal, n_limbs(r_mod)))
 
+def _sync(out):
+    # block_until_ready does not actually block on the axon tunnel
+    # backend; force a real device->host read of one leaf instead.
+    leaves = jax.tree_util.tree_leaves(out)
+    if leaves:
+        jax.device_get(leaves[-1])
+
+
 def bench(name, fn, *args):
     out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(5):
         out = fn(*args)
-    jax.block_until_ready(out)
+        _sync(out)
     print(f"{name}: {(time.perf_counter()-t0)/5*1e3:.2f} ms", flush=True)
     return out
 

@@ -47,8 +47,19 @@ def optimize(prog: Prog) -> Prog:
         for v, _ in lin.terms:
             used_so_far.add(v)
 
+    # directive outputs must not be substituted away: the directive keeps
+    # writing them, and dropping their defining constraint would leave them
+    # unconstrained (reference redefinition.rs:181 "ignored set")
+    dir_outputs: Set[int] = set()
+
     def substitutable(y: int) -> bool:
-        return y > 0 and y not in arg_vars and y not in used_so_far and y not in subs
+        return (
+            y > 0
+            and y not in arg_vars
+            and y not in used_so_far
+            and y not in subs
+            and y not in dir_outputs
+        )
 
     out1: List = []
     for s in prog.statements:
@@ -88,6 +99,7 @@ def optimize(prog: Prog) -> Prog:
             for q in inputs:
                 mark_used(q.left)
                 mark_used(q.right)
+            dir_outputs.update(s.outputs)
             out1.append(Directive(inputs, s.outputs, s.solver))
         elif isinstance(s, LogStatement):
             exprs = [

@@ -30,6 +30,69 @@ K = [
 ]
 
 
+def snark_verify_embed(ev, args, span):
+    """Splice the snark_verify_bls12_377 gadget (embed/snark_verify.py)
+    into the circuit, mirroring the reference splice
+    (zokrates_ast/src/common/embed.rs:433): one directive solving ALL
+    gadget variables, a one-binding, input bindings, and the constraint
+    table over freshly allocated circuit wires."""
+    from ..embed.snark_verify import generate_verify_constraints
+    from ..ir.program import LinComb, QuadComb, Solver
+    from .evaluator import CompileError
+    from .flatten import FieldVal
+
+    flat = ev.flat
+    if ev.curve != "bw6_761":
+        raise CompileError(
+            f"snark_verify_bls12_377 is only available on bw6_761 (got {ev.curve})",
+            span,
+        )
+    if len(args) != 3:
+        raise CompileError("snark_verify_bls12_377 expects (inputs, proof, vk)", span)
+    inputs, proof, vk = args
+    for arr, want, label in (
+        (inputs, None, "inputs"),
+        (proof, 8, "proof"),
+        (vk, None, "vk"),
+    ):
+        if not isinstance(arr, ArrayVal):
+            raise CompileError(f"snark_verify {label} must be a field array", span)
+    n = len(inputs.items)
+    if len(proof.items) != 8:
+        raise CompileError("snark_verify proof must be field[8]", span)
+    if len(vk.items) != 18 + 2 * n:
+        raise CompileError(
+            f"snark_verify vk must be field[{18 + 2 * n}] for {n} inputs", span
+        )
+
+    out_idx, iidx, pidx, vidx, cons, nvars = generate_verify_constraints(n)
+
+    cvars = [flat.new_var() for _ in range(nvars)]
+
+    def as_field(v):
+        return v if isinstance(v, FieldVal) else FieldVal(v.lin)
+
+    arg_lins = [as_field(v).lin for v in inputs.items + proof.items + vk.items]
+    flat.directive(arg_lins, cvars, Solver("SnarkVerifyBls12377", n))
+
+    # gadget-local one == 1
+    flat.constraint(
+        QuadComb(LinComb.one(), LinComb.from_var(cvars[0])), LinComb.constant(1)
+    )
+    for gidx, arglin in zip(iidx + pidx + vidx, arg_lins):
+        flat.constraint(
+            QuadComb(LinComb.one(), LinComb.from_var(cvars[gidx])), arglin
+        )
+
+    def lin_of(d):
+        return LinComb([(cvars[v], c) for v, c in d.items()])
+
+    for a, b, c in cons:
+        flat.constraint(QuadComb(lin_of(a), lin_of(b)), lin_of(c))
+
+    return BoolVal(LinComb.from_var(cvars[out_idx]))
+
+
 def sha256_round_embed(ev, args, span):
     from .evaluator import CompileError
 

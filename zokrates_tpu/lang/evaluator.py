@@ -1408,7 +1408,9 @@ class Evaluator:
 
             return sha256_round_embed(self, args, span)
         if name == "snark_verify_bls12_377":
-            raise CompileError("snark_verify_bls12_377 embed not yet supported", span)
+            from .embeds import snark_verify_embed
+
+            return snark_verify_embed(self, args, span)
         raise CompileError(f"unknown EMBED symbol {name}", span)
 
     def _bit_array_le(self, a: ArrayVal, b: ArrayVal, span) -> BoolVal:

@@ -41,7 +41,12 @@ def cmd_compile(args):
     from .ir.serialize import serialize
 
     try:
-        art = compile_file(args.input, curve=args.curve, stdlib_dir=args.stdlib_path)
+        art = compile_file(
+            args.input,
+            curve=args.curve,
+            stdlib_dir=args.stdlib_path,
+            debug=args.debug,
+        )
     except Exception as e:
         _err(f"compilation failed:\n\n{e}")
     prog = art.prog
@@ -92,17 +97,32 @@ def cmd_inspect(args):
 
 
 def cmd_profile(args):
+    """Per-source-span constraint heat map (reference
+    zokrates_profiler/src/lib.rs:39-51: % of constraints per span,
+    descending; unattributed constraints print as '???')."""
     prog = _load_prog(args.input)
-    # span heat map: spans are not yet carried through the pipeline, so
-    # report the per-statement-kind breakdown (constraint counts)
     from collections import Counter
-    from .ir.program import Constraint, Directive, LogStatement
+    from .ir.program import Constraint
 
-    kinds = Counter(type(s).__name__ for s in prog.statements)
-    total = prog.constraint_count()
+    heat = Counter()
+    total = 0
+    for s in prog.statements:
+        if isinstance(s, Constraint):
+            total += 1
+            heat[s.span] += 1
+
+    mods = prog.module_map or []
+
+    def show(span):
+        if span is None:
+            return "???"
+        mid, line, col = span
+        mod = mods[mid] if mid < len(mods) else f"<module {mid}>"
+        return f"{mod}:{line}:{col}"
+
     print(f"Total constraints: {total}")
-    for k, v in kinds.most_common():
-        print(f"  {k}: {v}")
+    for span, c in heat.most_common():
+        print(f"{c / max(1, total) * 100:>5.2f}% : {show(span)}  ({c})")
 
 
 # ---------------------------------------------------------------------------
@@ -113,6 +133,7 @@ def cmd_profile(args):
 def cmd_compute_witness(args):
     from .abi import encode_inputs
     from .interp.interpreter import Interpreter
+    from .interp.vectorized import VectorizedInterpreter
     from .ir.witness import Witness
 
     prog = _load_prog(args.input)
@@ -130,8 +151,17 @@ def cmd_compute_witness(args):
         raw = args.arguments.split() if args.arguments else []
         inputs = [int(v) for v in raw]
 
+    # levelized device generator for big circuits (>= 4096 constraints),
+    # scalar walk for small ones (device dispatch overhead dominates there);
+    # both are bit-identical (tests/test_vectorized.py)
+    if args.vectorized or (
+        args.vectorized is None and prog.constraint_count() >= 4096
+    ):
+        interp = VectorizedInterpreter()
+    else:
+        interp = Interpreter()
     try:
-        witness = Interpreter().execute(prog, inputs, log_stream=sys.stdout)
+        witness = interp.execute(prog, inputs, log_stream=sys.stdout)
     except Exception as e:
         _err(f"execution failed: {e}")
 
@@ -456,6 +486,19 @@ def make_parser():
     c.add_argument("--stdin", action="store_true")
     c.add_argument("--json", action="store_true", help="also write witness.json")
     c.add_argument("--circom-witness", default=None)
+    g = c.add_mutually_exclusive_group()
+    g.add_argument(
+        "--vectorized",
+        action="store_true",
+        default=None,
+        help="force the levelized device witness generator",
+    )
+    g.add_argument(
+        "--no-vectorized",
+        dest="vectorized",
+        action="store_false",
+        help="force the scalar interpreter",
+    )
     c.set_defaults(fn=cmd_compute_witness)
 
     c = sub.add_parser("setup", help="Performs a trusted setup")

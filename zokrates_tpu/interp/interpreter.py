@@ -186,9 +186,16 @@ def execute_solver(solver: Solver, inputs: List[int], field, solvers: Sequence[S
         func = solver.arg  # a callable or a ZirFunction with .evaluate
         return func(inputs, field)
     if name == "Sha256Round":
-        from ..embed.sha256 import generate_sha256_round_witness
-
-        return generate_sha256_round_witness(inputs[0:512], inputs[512:], field)
+        # Our compiler inlines the sha256round embed as flattener gadgets
+        # (lang/embeds.py), so it never emits this solver. Reference .out
+        # files use it with bellman's gadget-internal wire layout
+        # (zokrates_embed/src/bellman.rs:16-319), which has no spec beyond
+        # that implementation — interop for such files is not supported.
+        raise SolverError(
+            "Sha256Round directive solver: this program was compiled by the "
+            "reference with the bellman sha256 gadget; recompile the source "
+            "with zokrates-tpu (which inlines sha256round)"
+        )
     if name == "SnarkVerifyBls12377":
         from ..embed.snark_verify import generate_verify_witness
 

@@ -93,14 +93,14 @@ def optimize(prog: Prog) -> Prog:
             mark_used(quad.left)
             mark_used(quad.right)
             mark_used(lin)
-            out1.append(Constraint(quad, lin, s.error))
+            out1.append(Constraint(quad, lin, s.error, span=s.span))
         elif isinstance(s, Directive):
             inputs = [_subst_quad(q, subs, p) for q in s.inputs]
             for q in inputs:
                 mark_used(q.left)
                 mark_used(q.right)
             dir_outputs.update(s.outputs)
-            out1.append(Directive(inputs, s.outputs, s.solver))
+            out1.append(Directive(inputs, s.outputs, s.solver, span=s.span))
         elif isinstance(s, LogStatement):
             exprs = [
                 (ty, [_subst_lin(l, subs, p) for l in lins]) for ty, lins in s.expressions
@@ -108,7 +108,7 @@ def optimize(prog: Prog) -> Prog:
             for _, lins in exprs:
                 for l in lins:
                     mark_used(l)
-            out1.append(LogStatement(s.format_string, exprs))
+            out1.append(LogStatement(s.format_string, exprs, span=s.span))
         else:
             out1.append(s)
 

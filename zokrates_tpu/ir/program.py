@@ -204,11 +204,17 @@ class Solver:
 # -- statements -------------------------------------------------------------
 
 
+# A source span is (module_index, line, col); module_index resolves against
+# Prog.module_map. Spans are ignored by equality (reference ir/mod.rs:37-38
+# derives Eq/Hash skipping the span) so the optimizer's dedup still fires.
+
+
 @dataclass
 class Constraint:
     quad: QuadComb
     lin: LinComb
     error: Optional[str] = None  # RuntimeError description
+    span: Optional[Tuple[int, int, int]] = dfield(default=None, compare=False)
 
 
 @dataclass
@@ -216,12 +222,14 @@ class Directive:
     inputs: List[QuadComb]
     outputs: List[int]
     solver: Solver
+    span: Optional[Tuple[int, int, int]] = dfield(default=None, compare=False)
 
 
 @dataclass
 class LogStatement:
     format_string: str            # with '{}' placeholders
     expressions: List[Tuple[object, List[LinComb]]]  # (abi type, lincombs)
+    span: Optional[Tuple[int, int, int]] = dfield(default=None, compare=False)
 
 
 Statement = Union[Constraint, Directive, LogStatement]

@@ -40,6 +40,38 @@ def _field_bytes(v: int, field) -> bytes:
     return field(v).to_byte_vector()
 
 
+def _module_hash(path: str) -> int:
+    """Deterministic 64-bit module id (the reference keys its ModuleMap by a
+    std-hasher u64 of the path, common/position.rs:24-32; we use
+    sha256(path)[0:8] — a documented divergence, the id is only a lookup
+    key resolved against the same file's map)."""
+    import hashlib
+
+    return int.from_bytes(hashlib.sha256(path.encode()).digest()[:8], "little")
+
+
+def _span_to_cbor(span, module_map):
+    """(module_idx, line, col) -> reference Span::Source CBOR shape
+    (common/position.rs SourceSpan: module hash + from/to positions)."""
+    if span is None or module_map is None:
+        return None
+    mid, line, col = span
+    if mid >= len(module_map):
+        return None
+    pos = {"line": line, "col": col}
+    return {"Source": {"module": _module_hash(module_map[mid]), "from": pos, "to": pos}}
+
+
+def _span_from_cbor(d, hash_to_idx):
+    if not isinstance(d, dict) or "Source" not in d:
+        return None
+    s = d["Source"]
+    idx = hash_to_idx.get(s["module"])
+    if idx is None:
+        return None
+    return (idx, s["from"]["line"], s["from"]["col"])
+
+
 def _lin_to_cbor(lin: LinComb, field):
     return {
         "span": None,
@@ -68,11 +100,11 @@ def _solver_to_cbor(s: Solver):
     return s.name
 
 
-def _stmt_to_cbor(s, field):
+def _stmt_to_cbor(s, field, module_map=None):
     if isinstance(s, Constraint):
         return {
             "Constraint": {
-                "span": None,
+                "span": _span_to_cbor(s.span, module_map),
                 "quad": _quad_to_cbor(s.quad, field),
                 "lin": _lin_to_cbor(s.lin, field),
                 "error": None if s.error is None else {"SourceAssertion": {"metadata": {"file": str(s.error), "position": None}}},
@@ -81,7 +113,7 @@ def _stmt_to_cbor(s, field):
     if isinstance(s, Directive):
         return {
             "Directive": {
-                "span": None,
+                "span": _span_to_cbor(s.span, module_map),
                 "inputs": [_quad_to_cbor(q, field) for q in s.inputs],
                 "outputs": [{"id": v} for v in s.outputs],
                 "solver": _solver_to_cbor(s.solver),
@@ -90,7 +122,7 @@ def _stmt_to_cbor(s, field):
     if isinstance(s, LogStatement):
         return {
             "Log": {
-                "span": None,
+                "span": _span_to_cbor(s.span, module_map),
                 "format_string": {"parts": s.format_string.split("{}")},
                 "expressions": [
                     [ty, [_lin_to_cbor(l, field) for l in lins]] for ty, lins in s.expressions
@@ -132,7 +164,7 @@ def serialize(prog: Prog, check_unconstrained: bool = True) -> bytes:
         if isinstance(s, Directive) and s.solver.name == "Zir":
             idx = len(solver_table)
             solver_table.append(s.solver)
-            s = Directive(s.inputs, s.outputs, Solver("Ref", idx))
+            s = Directive(s.inputs, s.outputs, Solver("Ref", idx), span=s.span)
         if isinstance(s, Constraint):
             count += 1
         detector.visit(s)
@@ -143,12 +175,15 @@ def serialize(prog: Prog, check_unconstrained: bool = True) -> bytes:
     params_blob = cbor.encode(
         [{"id": p.id, "private": p.private} for p in prog.arguments]
     )
+    module_map = prog.module_map if isinstance(prog.module_map, list) else None
     constraints_buf = io.BytesIO()
     for s in statements:
-        constraints_buf.write(cbor.encode(_stmt_to_cbor(s, field)))
+        constraints_buf.write(cbor.encode(_stmt_to_cbor(s, field, module_map)))
     constraints_blob = constraints_buf.getvalue()
     solvers_blob = cbor.encode([_solver_to_cbor(s) for s in solver_table])
-    modules_blob = cbor.encode({"modules": {}})
+    modules_blob = cbor.encode(
+        {"modules": {_module_hash(m): m for m in (module_map or [])}}
+    )
 
     header_size = 4 + 4 + 4 + 4 + 4 + 4 * (4 + 8 + 8)
     out = io.BytesIO()
@@ -238,16 +273,27 @@ def deserialize(data: bytes) -> Prog:
     params = [
         Parameter(d["id"], d["private"]) for d in cbor.decode(blob(1))
     ]
+
+    mods = cbor.decode(blob(4)).get("modules", {}) if sections.get(4, (0, 0))[1] else {}
+    module_list = [mods[h] for h in sorted(mods)]
+    hash_to_idx = {h: i for i, h in enumerate(sorted(mods))}
+
     statements = []
     for item in cbor.decode_stream(blob(2)):
         (kind, val), = item.items()
+        span = _span_from_cbor(val.get("span"), hash_to_idx)
         if kind == "Constraint":
             err = val.get("error")
+            if isinstance(err, dict) and "SourceAssertion" in err:
+                err = err["SourceAssertion"]["metadata"].get("file")
+            elif err is not None:
+                err = str(err)
             statements.append(
                 Constraint(
                     _cbor_to_quad(val["quad"], field),
                     _cbor_to_lin(val["lin"], field),
-                    None if err is None else str(err),
+                    err,
+                    span=span,
                 )
             )
         elif kind == "Directive":
@@ -256,6 +302,7 @@ def deserialize(data: bytes) -> Prog:
                     [_cbor_to_quad(q, field) for q in val["inputs"]],
                     [o["id"] for o in val["outputs"]],
                     _cbor_to_solver(val["solver"]),
+                    span=span,
                 )
             )
         elif kind == "Log":
@@ -264,7 +311,7 @@ def deserialize(data: bytes) -> Prog:
                 (ty, [_cbor_to_lin(l, field) for l in lins])
                 for ty, lins in val["expressions"]
             ]
-            statements.append(LogStatement("{}".join(parts), exprs))
+            statements.append(LogStatement("{}".join(parts), exprs, span=span))
         else:
             raise SerializationError(f"unknown statement kind {kind}")
     solvers = [_cbor_to_solver(s) for s in cbor.decode(blob(3))]
@@ -274,4 +321,5 @@ def deserialize(data: bytes) -> Prog:
         return_count=return_count,
         statements=statements,
         solvers=solvers,
+        module_map=module_list,
     )

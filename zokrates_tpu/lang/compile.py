@@ -83,14 +83,19 @@ def compile_source(
     else:
         resolver_fn = resolver
     ev = Evaluator(FIELDS[curve], resolver_fn, curve)
-    ev.log_enabled = True
+    # LogIgnorer semantics (reference zokrates_analysis/src/lib.rs:134-142):
+    # log statements are stripped unless compiled with --debug
+    ev.log_enabled = debug
     prog = optimize(ev.compile_main(path))
     return CompilationArtifacts(prog=prog, abi=ev.abi)
 
 
-def compile_file(path: str, curve: str = "bn128", stdlib_dir: str = None) -> CompilationArtifacts:
+def compile_file(
+    path: str, curve: str = "bn128", stdlib_dir: str = None, debug: bool = False
+) -> CompilationArtifacts:
     with open(path) as f:
         source = f.read()
     ev = Evaluator(FIELDS[curve], fs_resolver(stdlib_dir), curve)
+    ev.log_enabled = debug  # LogIgnorer: logs stripped unless --debug
     prog = optimize(ev.compile_main(os.path.abspath(path)))
     return CompilationArtifacts(prog=prog, abi=ev.abi)

@@ -142,6 +142,9 @@ class Evaluator:
         self.log_enabled = True
         self._scopes: List[tuple] = []
         self.witness_mode = False  # True inside asm solver closures
+        # source-map registry: module path -> index into Prog.module_map
+        self.module_list: List[str] = []
+        self.module_ids: Dict[str, int] = {}
 
     # -- module system -----------------------------------------------------
     def load_module(self, path: str, importing: Optional[str] = None) -> ModuleCtx:
@@ -300,6 +303,7 @@ class Evaluator:
             arguments=arguments,
             return_count=out_count,
             statements=flat.statements,
+            module_map=list(self.module_list),
         )
 
     def _value_from_wires(self, ty: CType, wires) -> Value:
@@ -355,7 +359,26 @@ class Evaluator:
                 if name in frame.env:
                     saved[name] = frame.env[name]
 
+    def _module_id(self, path: str) -> int:
+        mid = self.module_ids.get(path)
+        if mid is None:
+            mid = len(self.module_list)
+            self.module_ids[path] = mid
+            self.module_list.append(path)
+        return mid
+
     def exec_stmt(self, s: A.Stmt, frame: _Frame):
+        # stamp the flattener with this statement's source span so every
+        # constraint emitted below (incl. by nested expression evaluation)
+        # maps back to it — the reference's Span/ModuleMap flow
+        # (zokrates_ast common/position.rs, ir/serialize.rs:251-259)
+        sp = getattr(s, "span", None)
+        if sp is not None:
+            self.flat.current_span = (
+                self._module_id(frame.ctx.module.path),
+                sp[0],
+                sp[1],
+            )
         if isinstance(s, A.Return):
             val = (
                 self.eval_expr(s.value, frame, expected=frame.ret_ty)
@@ -399,7 +422,9 @@ class Evaluator:
                             lin = self.flat.u_reduce(leaf).lin
                         lins.append(lin)
                     exprs.append((v.ty.abi(), lins))
-                self.flat.statements.append(LogStatement(s.format_string, exprs))
+                self.flat.statements.append(
+                    LogStatement(s.format_string, exprs, span=self.flat.current_span)
+                )
             return
         if isinstance(s, _AsmBlock):
             for inner in s.stmts:

@@ -156,6 +156,10 @@ class Flattener:
         # condition stack for branch-guarded assertions
         self.conditions: List[BoolVal] = []
         self._cond_product: Dict[int, LinComb] = {}
+        # source span (module_idx, line, col) stamped on every emitted
+        # statement — set by the evaluator per executed source statement
+        # (reference threads Option<Span> from pest to IR, ir/mod.rs:37-38)
+        self.current_span = None
 
     # -- wires -------------------------------------------------------------
     def new_var(self) -> int:
@@ -164,11 +168,16 @@ class Flattener:
         return v
 
     def constraint(self, quad: QuadComb, lin: LinComb, error: Optional[str] = None):
-        self.statements.append(Constraint(quad, lin, error))
+        self.statements.append(Constraint(quad, lin, error, span=self.current_span))
 
     def directive(self, inputs: List[LinComb], outputs: List[int], solver: Solver):
         self.statements.append(
-            Directive([QuadComb.from_lin(l) for l in inputs], outputs, solver)
+            Directive(
+                [QuadComb.from_lin(l) for l in inputs],
+                outputs,
+                solver,
+                span=self.current_span,
+            )
         )
 
     # -- helpers -----------------------------------------------------------

@@ -64,3 +64,67 @@ class TestFourStepNTT:
             for k2 in range(n2):
                 got[k2 * n1 + k1] = got2d[k1 * n2 + k2]
         assert got == expect
+
+    def test_inverse_and_transposed_roundtrips(self, rng):
+        from zokrates_tpu.parallel.ntt_dist import (
+            intt_from_transposed,
+            intt_to_transposed,
+            ntt_from_transposed,
+        )
+
+        fp = FP.SCALAR_FIELDS["bn128"]
+        n1, n2 = 16, 8
+        fs = FourStepNTT(fp.p, n1, n2, fp.two_adic_root, fp.two_adicity)
+        mesh = _mesh("dom", 8)
+        xs = [rng.randrange(fp.p) for _ in range(n1 * n2)]
+        x = fs.ops.encode(xs).reshape(n1, n2, -1)
+        with mesh:
+            Z = ntt_sharded(fs, mesh, "dom")(x)
+            x2 = intt_from_transposed(fs, mesh, "dom")(Z)
+            C = intt_to_transposed(fs, mesh, "dom")(x)
+            x3 = ntt_from_transposed(fs, mesh, "dom")(C)
+        d = fs.ops.decode
+        assert d(x2) == d(x)
+        assert d(x3) == d(x)
+        # transposed layout: C[j1, j2] == ifft(x)[j2*n1 + j1]
+        dom = domain_for_curve("bn128", n1 * n2)
+        coeffs = dom.ifft_ints(xs)
+        got = d(C)
+        assert all(
+            got[j1 * n2 + j2] == coeffs[j2 * n1 + j1]
+            for j1 in range(n1)
+            for j2 in range(n2)
+        )
+
+
+class TestShardedGroth16:
+    def test_proof_equals_single_device(self, rng):
+        """Full sharded prove on the 8-device mesh: bit-identical proof to
+        schemes/groth16.prove under the same randomness, and verifies."""
+        import random
+
+        from zokrates_tpu.interp.interpreter import Interpreter
+        from zokrates_tpu.ir.r1cs import r1cs_from_prog
+        from zokrates_tpu.lang.compile import compile_source
+        from zokrates_tpu.parallel.groth16 import sharded_prover
+        from zokrates_tpu.schemes import groth16
+
+        src = (
+            "def main(private field x0) -> field {\n"
+            "    field mut x = x0;\n"
+            "    for u32 i in 0..70 { x = x * x + 1; }\n"
+            "    return x;\n"
+            "}"
+        )
+        prog = compile_source(src, curve="bn128").prog
+        r1cs = r1cs_from_prog(prog)
+        w = Interpreter().execute(prog, [3])
+        pk, vk = groth16.setup(r1cs)
+        seq = [rng.randrange(1, 2**200) for _ in range(4)]
+        it1, it2 = iter(seq), iter(seq)
+        p1 = groth16.prove(r1cs, pk, w, rng=lambda: next(it1))
+        mesh = _mesh("shard", 8)
+        sp = sharded_prover(r1cs, pk, mesh)
+        p2 = sp.prove(w, rng=lambda: next(it2))
+        assert p1.points == p2.points and p1.inputs == p2.inputs
+        assert groth16.verify(vk, p2)

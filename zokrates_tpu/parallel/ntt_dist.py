@@ -69,20 +69,53 @@ class FourStepNTT:
         dom.fft_jit = jax.jit(dom.fft)
         dom.ifft_jit = jax.jit(dom.ifft)
 
-    def twiddles_for_cols(self, col_start: int, cols: int):
-        """(n1, cols) twiddle block w^(i*(col_start+j)), Montgomery."""
-        key = (col_start, cols)
+    def twiddles_for_cols(self, col_start: int, cols: int, inv: bool = False):
+        """(n1, cols) twiddle block w^(±i*(col_start+j)), Montgomery."""
+        key = (col_start, cols, inv)
         if key not in self._tw_cache:
+            om = pow(self.omega, -1, self.p) if inv else self.omega
             vals = []
             for i in range(self.n1):
-                row_base = pow(self.omega, i * col_start, self.p)
-                step = pow(self.omega, i, self.p)
+                row_base = pow(om, i * col_start, self.p)
+                step = pow(om, i, self.p)
                 acc = row_base
                 for j in range(cols):
                     vals.append(acc)
                     acc = acc * step % self.p
             tw = self.ops.encode(vals).reshape(self.n1, cols, -1)
             self._tw_cache[key] = tw
+        return self._tw_cache[key]
+
+    def twiddles_for_rows(self, row_start: int, rows: int, inv: bool = False):
+        """(rows, n2) twiddle block w^(±(row_start+i)*j), Montgomery."""
+        key = ("r", row_start, rows, inv)
+        if key not in self._tw_cache:
+            om = pow(self.omega, -1, self.p) if inv else self.omega
+            vals = []
+            for i in range(rows):
+                base = pow(om, row_start + i, self.p)
+                acc = 1
+                for j in range(self.n2):
+                    vals.append(acc)
+                    acc = acc * base % self.p
+            tw = self.ops.encode(vals).reshape(rows, self.n2, -1)
+            self._tw_cache[key] = tw
+        return self._tw_cache[key]
+
+    def coset_scale_rows(self, g: int, row_start: int, rows: int):
+        """(rows, n2) block of g^(j2*n1 + j1) for the TRANSPOSED coefficient
+        layout Z[j1, j2] = c[j2*n1 + j1] (j1 = row_start+i local rows)."""
+        key = ("cs", g, row_start, rows)
+        if key not in self._tw_cache:
+            gn1 = pow(g, self.n1, self.p)
+            vals = []
+            for i in range(rows):
+                acc = pow(g, row_start + i, self.p)
+                for j in range(self.n2):
+                    vals.append(acc)
+                    acc = acc * gn1 % self.p
+            cs = self.ops.encode(vals).reshape(rows, self.n2, -1)
+            self._tw_cache[key] = cs
         return self._tw_cache[key]
 
 
@@ -123,3 +156,122 @@ def ntt_sharded(fs: FourStepNTT, mesh: Mesh, axis: str = "dom"):
         check_rep=False,
     )
     return jax.jit(lambda x: fn(x, tw))
+
+
+# ---------------------------------------------------------------------------
+# The remaining three transform directions (all four are needed to close the
+# Groth16 h-pipeline under a mesh without ever forming the full vector on one
+# device). Layout vocabulary:
+#   natural    x[i1, i2] = a[i1*n2 + i2], sharded on columns  P(None, axis)
+#   transposed Z[k1, k2] = â[k2*n1 + k1], sharded on rows     P(axis, None)
+# Derivations follow the ω^(ik) = ω1^(i1k1)·ω2^(i2k2)·ω^(i2k1) split; every
+# transform is two local sub-NTTs + one twiddle + one all_to_all over ICI.
+# ---------------------------------------------------------------------------
+
+
+def intt_from_transposed(fs: FourStepNTT, mesh: Mesh, axis: str = "dom"):
+    """Sharded inverse NTT undoing ntt_sharded: input Z[k1,k2]=â[k2*n1+k1]
+    sharded on rows -> natural a[i1*n2+i2] sharded on columns."""
+    ndev = mesh.shape[axis]
+    rows = fs.n1 // ndev
+    f = fs.ops
+    ifft1, ifft2 = fs.dom1.ifft, fs.dom2.ifft
+    tw = jnp.stack(
+        [fs.twiddles_for_rows(d * rows, rows, inv=True) for d in range(ndev)]
+    )
+
+    def local(z, tw_all):
+        idx = jax.lax.axis_index(axis)
+        y = ifft2(z)                        # (rows, n2, nl): k2 -> i2 (1/n2)
+        y = f.mul_(y, tw_all[idx])          # ω^(-i2·k1)
+        y = jax.lax.all_to_all(y, axis, split_axis=1, concat_axis=0, tiled=True)
+        yt = jnp.swapaxes(y, 0, 1)          # (n2/ndev, n1, nl)
+        x = ifft1(yt)                       # k1 -> i1 (1/n1)
+        return jnp.swapaxes(x, 0, 1)        # (n1, n2/ndev, nl) natural
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis, None, None), P()),
+        out_specs=P(None, axis, None),
+        check_rep=False,
+    )
+    return jax.jit(lambda z: fn(z, tw))
+
+
+def ntt_from_transposed(fs: FourStepNTT, mesh: Mesh, axis: str = "dom"):
+    """Forward NTT taking TRANSPOSED-layout coefficients (Z[j1,j2] =
+    c[j2*n1+j1], row-sharded) -> natural-order evaluations (column-sharded).
+    Composes with intt_to_transposed for the coset round-trip."""
+    ndev = mesh.shape[axis]
+    rows = fs.n1 // ndev
+    f = fs.ops
+    tw = jnp.stack(
+        [fs.twiddles_for_rows(d * rows, rows, inv=False) for d in range(ndev)]
+    )
+
+    def local(z, tw_all):
+        idx = jax.lax.axis_index(axis)
+        y = fs.dom2.fft(z)                  # j2 -> i2
+        y = f.mul_(y, tw_all[idx])          # ω^(+i2·j1)
+        y = jax.lax.all_to_all(y, axis, split_axis=1, concat_axis=0, tiled=True)
+        yt = jnp.swapaxes(y, 0, 1)
+        x = fs.dom1.fft(yt)                 # j1 -> i1
+        return jnp.swapaxes(x, 0, 1)        # natural evals
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis, None, None), P()),
+        out_specs=P(None, axis, None),
+        check_rep=False,
+    )
+    return jax.jit(lambda z: fn(z, tw))
+
+
+def intt_to_transposed(fs: FourStepNTT, mesh: Mesh, axis: str = "dom"):
+    """Inverse NTT taking natural-order evaluations (column-sharded) ->
+    TRANSPOSED-layout coefficients Z[j1,j2] = c[j2*n1+j1] (row-sharded)."""
+    ndev = mesh.shape[axis]
+    cols = fs.n2 // ndev
+    f = fs.ops
+    ifft1, ifft2 = fs.dom1.ifft, fs.dom2.ifft
+    tw = jnp.stack(
+        [fs.twiddles_for_cols(d * cols, cols, inv=True) for d in range(ndev)]
+    )
+
+    def local(x, tw_all):
+        idx = jax.lax.axis_index(axis)
+        xt = jnp.swapaxes(x, 0, 1)          # (cols, n1, nl)
+        y = ifft1(xt)                       # i1 -> j1 (1/n1)
+        y = jnp.swapaxes(y, 0, 1)           # (n1, cols, nl)
+        y = f.mul_(y, tw_all[idx])          # ω^(-i2·j1)
+        y = jax.lax.all_to_all(y, axis, split_axis=0, concat_axis=1, tiled=True)
+        return ifft2(y)                     # i2 -> j2 (1/n2) -> (n1/ndev, n2)
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(None, axis, None), P()),
+        out_specs=P(axis, None, None),
+        check_rep=False,
+    )
+    return jax.jit(lambda x: fn(x, tw))
+
+
+def reshard_rows_to_cols(mesh: Mesh, axis: str):
+    """Natural (n1, n2) row-sharded P(axis, None) -> column-sharded
+    P(None, axis) (pure data movement, one all_to_all)."""
+
+    def local(x):
+        return jax.lax.all_to_all(x, axis, split_axis=1, concat_axis=0, tiled=True)
+
+    return jax.jit(
+        shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(axis, None, None),),
+            out_specs=P(None, axis, None),
+            check_rep=False,
+        )
+    )

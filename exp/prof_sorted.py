@@ -73,7 +73,7 @@ def stageB_prep(P128, sidx, flags2d):
         ny = rows[:, 2 * nl : 3 * nl]
         ysel = jnp.where((sign == 1)[:, None], ny, y)
         walk_in = M._to_walk(jnp.concatenate([x, ysel], axis=1), M1, K1)
-        fw = flags2d[w].reshape(M1, K1).T.reshape(K1 // R, R, M1)
+        fw = M._flags_to_walk(flags2d[w], M1, K1, R)
         outs.append((walk_in, fw))
     return outs
 

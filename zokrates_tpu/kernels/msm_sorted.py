@@ -77,7 +77,12 @@ class MSMConfig:
 def default_config(n: int, interpret: bool = False) -> MSMConfig:
     if interpret or n <= (1 << 12):
         return MSMConfig(c=8, M1=32, R=2, lw2=8, interpret=interpret)
-    return MSMConfig(c=16, M1=1024, R=4, lw2=64, interpret=False)
+    # lw2=512 keeps the merge/suffix walks at 8192 lanes (S=64 sublane
+    # rows — the measured-fastest layout, exp/m12_3d.py) and enables the
+    # in-kernel suffix fold (lw2 % 128 == 0)
+    if n <= (1 << 15):
+        return MSMConfig(c=16, M1=1024, R=4, lw2=512, interpret=False)
+    return MSMConfig(c=16, M1=8192, R=4, lw2=512, interpret=False)
 
 
 def _windows(r_mod: int, c: int) -> int:
@@ -94,6 +99,16 @@ def _windows(r_mod: int, c: int) -> int:
 # ---------------------------------------------------------------------------
 # Pallas kernels
 # ---------------------------------------------------------------------------
+
+
+def _tail_of(M: int):
+    """Trailing block dims for M lanes: (S, 128) when M is a multiple of
+    128 (3D sublane layout — exp/m12_3d.py measures ~3x the per-lane
+    field-mul throughput of flat (1, M) rows), else legacy (M,) for the
+    small interpret-mode configs. Lane id m == s * 128 + l throughout."""
+    if M % 128 == 0 and M >= 128:
+        return (M // 128, 128)
+    return (M,)
 
 
 def _double_inline(F, P):
@@ -122,32 +137,36 @@ def walk_kernel_factory(
 ):
     """Chunked segmented-accumulation walk.
 
-    Grid (T,). Step t processes R sorted positions per lane. Inputs:
-      q_ref:  (R, IN_ROWS, M) block — affine [x|y] rows (mode="mixed",
-              IN_ROWS=2nl) or Jacobian [X|Y|Z] rows (mode="general", 3nl)
-      f_ref:  (1, R, M) u32 flags — bit0 flush-after, bit1 skip
-              (flags ship as (T, R, M) so the block's trailing dims equal
-              the array's — Mosaic's block-shape divisibility rule)
+    Grid (T,). Step t processes R sorted positions per lane. The M lanes
+    are laid out 3D as (S, 128) with S = M // 128 — limb rows fill S VPU
+    sublane groups per instruction (exp/m12_3d.py: ~2-3x the per-lane
+    throughput of the legacy (1, M) rows). Inputs:
+      q_ref:  (R, IN_ROWS, S, 128) block — affine [x|y] rows
+              (mode="mixed", IN_ROWS=2nl) or Jacobian [X|Y|Z] (3nl)
+      f_ref:  (1, R, S, 128) u32 flags — bit0 flush-after, bit1 skip
     Outputs:
-      o_ref:  (R, 3nl, M) block — accumulator snapshot after every step
+      o_ref:  (R, 3nl, S, 128) block — accumulator snapshot per step
               (only flush positions are read downstream)
-      flag_ref: (1, M) collision flags (mixed fast path only)
+      flag_ref: (1, S, 128) collision flags (mixed fast path only)
+
+    Lane id m == s * 128 + l throughout.
     """
     F = _F(p, compact=compact)
     nl = F.nl
+    tail = _tail_of(M)
     mixed = mode == "mixed"
 
     def kernel(q_ref, f_ref, o_ref, flag_ref, accx, accy, accz, coll):
-        F.prep(M)
+        F.prep(tail)
         t = pl.program_id(0)
 
         @pl.when(t == 0)
         def _():
-            z = jnp.zeros((nl, M), jnp.uint32)
+            z = jnp.zeros((nl,) + tail, jnp.uint32)
             accx[...] = z
             accy[...] = z
             accz[...] = z
-            coll[...] = jnp.zeros((1, M), jnp.uint32)
+            coll[...] = jnp.zeros((1,) + tail, jnp.uint32)
 
         cur = (
             _split(accx[...], nl),
@@ -155,7 +174,7 @@ def walk_kernel_factory(
             _split(accz[...], nl),
         )
         for r in range(R):
-            flg = f_ref[0, r : r + 1]  # (1, M)
+            flg = f_ref[0, r : r + 1]  # (1, S, 128)
             Qx = [q_ref[r, i : i + 1] for i in range(nl)]
             Qy = [q_ref[r, nl + i : nl + i + 1] for i in range(nl)]
             if mixed:
@@ -197,30 +216,39 @@ def walk_kernel_factory(
 def _walk_call(p: int, R: int, M: int, T: int, mode: str, safe: bool, interpret: bool):
     nl = field_spec(p).nl
     in_rows = 2 * nl if mode == "mixed" else 3 * nl
+    tail = _tail_of(M)
+    nt = len(tail)
+    zt = (0,) * nt
     kernel = walk_kernel_factory(p, R, M, T, mode, safe, compact=interpret)
     return pl.pallas_call(
         kernel,
         grid=(T,),
         in_specs=[
-            pl.BlockSpec((R, in_rows, M), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, R, M), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (R, in_rows) + tail, lambda t: (t, 0) + zt, memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, R) + tail, lambda t: (t, 0) + zt, memory_space=pltpu.VMEM
+            ),
         ],
         out_specs=(
-            pl.BlockSpec((R, 3 * nl, M), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, M), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (R, 3 * nl) + tail, lambda t: (t, 0) + zt, memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((1,) + tail, lambda t: (0,) + zt, memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((T * R, 3 * nl, M), jnp.uint32),
-            jax.ShapeDtypeStruct((1, M), jnp.uint32),
+            jax.ShapeDtypeStruct((T * R, 3 * nl) + tail, jnp.uint32),
+            jax.ShapeDtypeStruct((1,) + tail, jnp.uint32),
         ),
-        scratch_shapes=[pltpu.VMEM((nl, M), jnp.uint32)] * 3
-        + [pltpu.VMEM((1, M), jnp.uint32)],
+        scratch_shapes=[pltpu.VMEM((nl,) + tail, jnp.uint32)] * 3
+        + [pltpu.VMEM((1,) + tail, jnp.uint32)],
         interpret=interpret,
     )
 
 
 def suffix_kernel_factory(
-    p: int, L: int, lw: int, M: int, compact: bool = False
+    p: int, L: int, lw: int, M: int, compact: bool = False, fold: bool = False
 ):
     """Chunked suffix accumulation over the 2-slot dense bucket tables.
 
@@ -229,21 +257,28 @@ def suffix_kernel_factory(
     [w*lw, (w+1)*lw) cover window w. Per step the kernel folds both slots
     into a running sum `acc` and a sum-of-running-sums `tot` (the suffix
     identity: sum_b b*S_b over a lane's chunk = tot, up to the per-lane
-    base multiplier applied by the XLA epilogue). Output: (6nl, M) =
-    [acc | tot] after the last step — the cross-lane weighted combine and
-    tree merge run in XLA (keeps this kernel's body tiny and its shape
-    independent of the MSM size, so one Mosaic compile serves all N).
-    """
+    base multiplier (lw-1-(lane%lw))*L).
+
+    fold=False (legacy / interpret path): output (6nl, M) = [acc | tot];
+    the weighted combine + tree merge run in an XLA epilogue — measured
+    ~390 ms at 2^18 (jfield's While-loop EC ops are dispatch-bound).
+    fold=True (requires lw % 128 == 0, 3D tail): the final grid step runs
+    the multiplier ladder AND the per-window cross-lane tree reduction
+    in-kernel (~500 extra field muls, single-digit ms); output (3nl, M)
+    with window w's Jacobian total at [:, w*(lw//128), 0]."""
     F = _F(p, compact=compact)
     nl = F.nl
+    tail = _tail_of(M)
+    if fold:
+        assert len(tail) == 2 and lw % 128 == 0, (lw, tail)
 
     def kernel(a_ref, b_ref, o_ref, accx, accy, accz, totx, toty, totz):
-        F.prep(M)
+        F.prep(tail)
         t = pl.program_id(0)
 
         @pl.when(t == 0)
         def _():
-            z = jnp.zeros((nl, M), jnp.uint32)
+            z = jnp.zeros((nl,) + tail, jnp.uint32)
             accx[...] = z
             accy[...] = z
             accz[...] = z
@@ -281,32 +316,123 @@ def suffix_kernel_factory(
         toty[...] = _join(tot[1])
         totz[...] = _join(tot[2])
 
+        if not fold:
+            @pl.when(t == L - 1)
+            def _():
+                o_ref[0:nl] = accx[...]
+                o_ref[nl : 2 * nl] = accy[...]
+                o_ref[2 * nl : 3 * nl] = accz[...]
+                o_ref[3 * nl : 4 * nl] = totx[...]
+                o_ref[4 * nl : 5 * nl] = toty[...]
+                o_ref[5 * nl : 6 * nl] = totz[...]
+            return
+
         @pl.when(t == L - 1)
         def _():
-            o_ref[0:nl] = accx[...]
-            o_ref[nl : 2 * nl] = accy[...]
-            o_ref[2 * nl : 3 * nl] = accz[...]
-            o_ref[3 * nl : 4 * nl] = totx[...]
-            o_ref[4 * nl : 5 * nl] = toty[...]
-            o_ref[5 * nl : 6 * nl] = totz[...]
+            # per-lane multiplier base = (lw-1 - (m % lw)) * L, m = s*128+l
+            s_id = jax.lax.broadcasted_iota(jnp.uint32, (1,) + tail, 1)
+            l_id = jax.lax.broadcasted_iota(jnp.uint32, (1,) + tail, 2)
+            m = s_id * np.uint32(128) + l_id
+            base = (np.uint32(lw - 1) - (m % np.uint32(lw))) * np.uint32(L)
+            nbits = max(1, (lw - 1) * L).bit_length()
+
+            # res = base * acc via bit ladder (fori_loop: one add + one
+            # double in the body keeps the Mosaic program small);
+            # lane_sum = tot + res
+            one = _join(F.one_mont(base))
+            zero = _join(F.zero(base))
+
+            def ladder(k, carry):
+                rx, ry, rz, tx, ty, tz = carry
+                bit = ((base >> k.astype(jnp.uint32)) & 1) == 1
+                res = (_split(rx, nl), _split(ry, nl), _split(rz, nl))
+                tmp = (_split(tx, nl), _split(ty, nl), _split(tz, nl))
+                cand = _general_add(F, res, tmp)
+                res = (
+                    F.select(bit, cand[0], res[0]),
+                    F.select(bit, cand[1], res[1]),
+                    F.select(bit, cand[2], res[2]),
+                )
+                tmp = _double_inline(F, tmp)
+                return (
+                    _join(res[0]), _join(res[1]), _join(res[2]),
+                    _join(tmp[0]), _join(tmp[1]), _join(tmp[2]),
+                )
+
+            rx, ry, rz, _, _, _ = jax.lax.fori_loop(
+                0, nbits, ladder, (one, one, zero, accx[...], accy[...], accz[...])
+            )
+            lane = _general_add(
+                F,
+                (_split(rx, nl), _split(ry, nl), _split(rz, nl)),
+                (
+                    _split(totx[...], nl),
+                    _split(toty[...], nl),
+                    _split(totz[...], nl),
+                ),
+            )
+
+            # rotate-accumulate tree: after log2(128) doubling rotations
+            # along the lane axis every lane holds its row's total; after
+            # log2(lw/128) more along the sublane axis, row w*(lw/128)
+            # lane 0 holds window w's total (rotation wrap never reaches
+            # a window-start row's summands since (lw/128) | S).
+            def rot_level(axis_idx, shifts):
+                def body(i, carry):
+                    x, y, z = carry
+                    cur = (_split(x, nl), _split(y, nl), _split(z, nl))
+                    sh = jnp.asarray(1, jnp.int32) << i
+                    rolled = tuple(
+                        [
+                            pltpu.roll(r, -sh, axis_idx + 1)
+                            for r in c
+                        ]
+                        for c in cur
+                    )
+                    s = _general_add(F, cur, rolled)
+                    return (_join(s[0]), _join(s[1]), _join(s[2]))
+
+                return body
+
+            x, y, z = _join(lane[0]), _join(lane[1]), _join(lane[2])
+            x, y, z = jax.lax.fori_loop(0, 7, rot_level(1, None), (x, y, z))
+            gs = lw // 128
+            if gs > 1:
+                x, y, z = jax.lax.fori_loop(
+                    0, gs.bit_length() - 1, rot_level(0, None), (x, y, z)
+                )
+            # store window w's sum at [:, w*(lw//128), 0]; downstream reads
+            # only those slots
+            o_ref[0:nl] = x
+            o_ref[nl : 2 * nl] = y
+            o_ref[2 * nl : 3 * nl] = z
 
     return kernel
 
 
 @functools.lru_cache(maxsize=None)
-def _suffix_call(p: int, L: int, lw: int, M: int, interpret: bool):
+def _suffix_call(p: int, L: int, lw: int, M: int, interpret: bool, fold: bool = False):
     nl = field_spec(p).nl
-    kernel = suffix_kernel_factory(p, L, lw, M, compact=interpret)
+    tail = _tail_of(M)
+    zt = (0,) * len(tail)
+    out_rows = 3 * nl if fold else 6 * nl
+    kernel = suffix_kernel_factory(p, L, lw, M, compact=interpret, fold=fold)
     return pl.pallas_call(
         kernel,
         grid=(L,),
         in_specs=[
-            pl.BlockSpec((1, 3 * nl, M), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3 * nl, M), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, 3 * nl) + tail, lambda t: (t, 0) + zt, memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 3 * nl) + tail, lambda t: (t, 0) + zt, memory_space=pltpu.VMEM
+            ),
         ],
-        out_specs=pl.BlockSpec((6 * nl, M), lambda t: (0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((6 * nl, M), jnp.uint32),
-        scratch_shapes=[pltpu.VMEM((nl, M), jnp.uint32)] * 6,
+        out_specs=pl.BlockSpec(
+            (out_rows,) + tail, lambda t: (0,) + zt, memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((out_rows,) + tail, jnp.uint32),
+        scratch_shapes=[pltpu.VMEM((nl,) + tail, jnp.uint32)] * 6,
         interpret=interpret,
     )
 
@@ -320,6 +446,7 @@ def _suffix_post(p: int, W: int, lw: int, L: int, out6):
 
     ops = curve_ops(p)
     nl = ops.f.nl
+    out6 = out6.reshape(6 * nl, -1)  # flatten (S, 128) tail -> M lanes
     M = out6.shape[1]
 
     def lanes(rows):  # (nl, M) limb-major -> (M, nl)
@@ -402,12 +529,19 @@ def _plan_shapes(N: int, W: int, cfg: MSMConfig):
 
 def _compact_positions(valid: jnp.ndarray, cap: int):
     """valid (W, Ncols) bool -> (W, cap) positions of True (ascending),
-    padded with positions of False entries (deterministic, no stability
-    assumption: unique composite sort keys)."""
+    padded with positions of False entries. Cumsum-rank scatter (O(N)),
+    not a sort: True j lands at its rank among Trues, False j after all
+    Trues at its rank among Falses; slots >= cap are dropped."""
     Wn, Ncols = valid.shape
+    v = valid.astype(jnp.int32)
+    rank_t = jnp.cumsum(v, axis=1) - v                # exclusive ranks
+    n_true = rank_t[:, -1:] + v[:, -1:]
+    rank_f = jnp.cumsum(1 - v, axis=1) - (1 - v)
+    slot = jnp.where(valid, rank_t, n_true + rank_f)
     g = jnp.broadcast_to(jnp.arange(Ncols, dtype=jnp.int32)[None], (Wn, Ncols))
-    keys = jnp.where(valid, g, g + Ncols)
-    return jnp.argsort(keys, axis=1)[:, :cap].astype(jnp.int32)
+    out = jnp.zeros((Wn, cap), jnp.int32)
+    wi = jnp.broadcast_to(jnp.arange(Wn, dtype=jnp.int32)[:, None], (Wn, Ncols))
+    return out.at[wi, slot].set(g, mode="drop")
 
 
 def _walk_flags(sorted_keys: jnp.ndarray, chunk: int):
@@ -431,15 +565,30 @@ def _walk_flags(sorted_keys: jnp.ndarray, chunk: int):
 
 
 def _to_walk(arr_rows: jnp.ndarray, M: int, K: int):
-    """(M*K, width) row-major (lane-chunk-contiguous) -> (K, width, M)."""
+    """(M*K, width) row-major (lane-chunk-contiguous) -> (K, width, *tail)
+    where lane m = s*128 + l owns positions [m*K, (m+1)*K)."""
     width = arr_rows.shape[1]
+    tail = _tail_of(M)
+    if len(tail) == 2:
+        S = tail[0]
+        return arr_rows.reshape(S, 128, K, width).transpose(2, 3, 0, 1)
     return arr_rows.reshape(M, K, width).transpose(1, 2, 0)
 
 
 def _from_walk(o: jnp.ndarray):
-    """Walk output (K, width, M) -> rows (K*M, width), row t*M+m."""
+    """Walk output (K, width, *tail) -> rows (K*M, width), row t*M+m."""
+    if o.ndim == 4:
+        K, width, S, _ = o.shape
+        return o.transpose(0, 2, 3, 1).reshape(K * S * 128, width)
     K, width, M = o.shape
     return o.transpose(0, 2, 1).reshape(K * M, width)
+
+
+def _flags_to_walk(flags_row: jnp.ndarray, M: int, K: int, R: int):
+    """Per-sorted-position flags (M*K,) -> walk input (K//R, R, *tail)."""
+    a = flags_row.reshape(M, K).T  # (K, M)
+    tail = _tail_of(M)
+    return a.reshape((K // R, R) + tail)
 
 
 def _merge_level(p, recs, rbuck, W, cap_in, cap_out, lw2, R, interpret):
@@ -450,7 +599,7 @@ def _merge_level(p, recs, rbuck, W, cap_in, cap_out, lw2, R, interpret):
     K2 = cap_in // lw2
     walk_in = _to_walk(recs, M2, K2)
     flags2d, valid = _walk_flags(rbuck.reshape(1, W * cap_in), K2)
-    flags_walk = flags2d.reshape(M2, K2).T.reshape(K2 // R, R, M2)
+    flags_walk = _flags_to_walk(flags2d[0], M2, K2, R)
     call = _walk_call(p, R, M2, K2 // R, "general", True, interpret)
     O, _ = call(walk_in, flags_walk)
     OT = _from_walk(O)
@@ -498,7 +647,7 @@ def _msm_device(p, W, N, cfg: MSMConfig, P128, scalars, safe: bool):
         ny = rows[:, 2 * nl : 3 * nl]
         ysel = jnp.where((sign == 1)[:, None], ny, y)
         walk_in = _to_walk(jnp.concatenate([x, ysel], axis=1), M1, K1)
-        flags_walk = flags2d[w].reshape(M1, K1).T.reshape(K1 // R, R, M1)
+        flags_walk = _flags_to_walk(flags2d[w], M1, K1, R)
         O1, coll = l1(walk_in, flags_walk)
         coll_any = jnp.maximum(coll_any, jnp.max(coll))
         O1T = _from_walk(O1)
@@ -527,9 +676,16 @@ def _msm_device(p, W, N, cfg: MSMConfig, P128, scalars, safe: bool):
 
     A = _to_walk(table[: W * hb], M4, L4)
     B = _to_walk(table[W * hb : 2 * W * hb], M4, L4)
-    sfx = _suffix_call(p, L4, lw2, M4, cfg.interpret)
-    out6 = sfx(A, B)
-    wX, wY, wZ = _suffix_post(p, W, lw2, L4, out6)
+    fold = lw2 % 128 == 0 and len(_tail_of(M4)) == 2 and not cfg.interpret
+    sfx = _suffix_call(p, L4, lw2, M4, cfg.interpret, fold)
+    out = sfx(A, B)
+    if fold:
+        gs = lw2 // 128
+        wX = out[0:nl, ::gs, 0].T          # (W, nl): window w at row w*gs
+        wY = out[nl : 2 * nl, ::gs, 0].T
+        wZ = out[2 * nl : 3 * nl, ::gs, 0].T
+    else:
+        wX, wY, wZ = _suffix_post(p, W, lw2, L4, out)
     return (wX, wY, wZ), coll_any
 
 

@@ -126,13 +126,12 @@ class _F:
         ~16 tensor instructions per word instead of ~64 row ops (kernel
         size directly bounds Mosaic compile time)."""
         nl = self.nl
-        B = jnp.concatenate(b, axis=0)                  # (nl, lanes)
-        lanes = B.shape[1]
-        p_col = self.p_col(lanes)
-        zrow = jnp.zeros((1, lanes), jnp.uint32)
+        B = jnp.concatenate(b, axis=0)                  # (nl, *tail)
+        p_col = self.p_col(None)
+        zrow = jnp.zeros((1,) + self._tail, jnp.uint32)
 
         def step(t, ai):
-            prod = ai * B                               # (nl, lanes)
+            prod = ai * B                               # (nl, *tail)
             lo = jnp.concatenate([prod & _MASK, zrow], axis=0)
             hi = jnp.concatenate([zrow, prod >> LIMB_BITS], axis=0)
             t = t + lo + hi
@@ -144,9 +143,9 @@ class _F:
             carry = t[0:1] >> LIMB_BITS
             return jnp.concatenate([t[1:2] + carry, t[2:], zrow], axis=0)
 
-        t = jnp.zeros((nl + 1, lanes), jnp.uint32)
+        t = jnp.zeros((nl + 1,) + self._tail, jnp.uint32)
         if self.compact:
-            A = jnp.concatenate(a, axis=0)              # (nl, lanes)
+            A = jnp.concatenate(a, axis=0)              # (nl, *tail)
             t, _ = jax.lax.scan(
                 lambda t, ai: (step(t, ai[None]), None), t, A
             )
@@ -159,14 +158,21 @@ class _F:
     def prep(self, lanes):
         """Build in-kernel constant tensors once per kernel body (Pallas
         kernels may not capture array constants; jnp.full from python
-        scalars is allowed)."""
+        scalars is allowed).
+
+        `lanes` is an int (legacy 2D layout: rows are (1, lanes)) or a
+        tuple (S, 128) (3D layout: rows are (1, S, 128), filling S VPU
+        sublane groups per instruction — measured ~2-3x faster per lane
+        than the underfilled (1, lanes) rows, exp/m12_3d.py)."""
+        tail = (lanes,) if isinstance(lanes, int) else tuple(lanes)
+        self._tail = tail
         self._p_col = jnp.concatenate(
-            [jnp.full((1, lanes), v, jnp.uint32) for v in self.p_rows], axis=0
+            [jnp.full((1,) + tail, v, jnp.uint32) for v in self.p_rows], axis=0
         )
         if self.compact:
-            # (nl, 1, lanes) stacked view for the lax.scan carry chains
+            # (nl, 1, *tail) stacked view for the lax.scan carry chains
             self._p_stack = jnp.stack(
-                [jnp.full((1, lanes), v, jnp.uint32) for v in self.p_rows]
+                [jnp.full((1,) + tail, v, jnp.uint32) for v in self.p_rows]
             )
 
     def p_col(self, lanes):

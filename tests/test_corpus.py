@@ -46,7 +46,7 @@ def _skips():
 SKIPS = _skips()
 
 
-def run_case(json_path: Path, max_curves: int = 1):
+def run_case(json_path: Path, max_curves: int = None):
     from zokrates_tpu.abi import decode_value, encode_value
     from zokrates_tpu.interp.interpreter import (
         ExecutionError,

@@ -49,7 +49,11 @@ def optimize(prog: Prog) -> Prog:
 
     # directive outputs must not be substituted away: the directive keeps
     # writing them, and dropping their defining constraint would leave them
-    # unconstrained (reference redefinition.rs:181 "ignored set")
+    # unconstrained (reference redefinition.rs:181 "ignored set").
+    # EXCEPTION: Zir solvers come from asm blocks, which the reference
+    # folds in `aggressive` mode (redefinition.rs fold_statement_cases on
+    # Block: outputs stay substitutable; orphaned directives are swept by
+    # the usage cleanup below) — corpus core/assembly/propagation/*.
     dir_outputs: Set[int] = set()
 
     def substitutable(y: int) -> bool:
@@ -99,7 +103,8 @@ def optimize(prog: Prog) -> Prog:
             for q in inputs:
                 mark_used(q.left)
                 mark_used(q.right)
-            dir_outputs.update(s.outputs)
+            if s.solver.name != "Zir":
+                dir_outputs.update(s.outputs)
             out1.append(Directive(inputs, s.outputs, s.solver, span=s.span))
         elif isinstance(s, LogStatement):
             exprs = [

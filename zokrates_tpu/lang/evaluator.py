@@ -95,6 +95,143 @@ class ModuleCtx:
                     self.symbols[alias].functions += sym.functions
                 else:
                     self.symbols[alias] = sym
+        self._check_declarations()
+
+    # -- declaration-level semantic checks (reference semantics.rs) --------
+    def _expr_key(self, e, gidx):
+        """Canonical key of a size expression: generics by index, module
+        constants by value (so `field[A]` == `field[B]` when A == B —
+        compile_errors/ambiguous_generic_call)."""
+        if isinstance(e, A.IntLiteral):
+            return ("i", e.value)
+        if isinstance(e, A.Ident):
+            if e.name in gidx:
+                return ("g", gidx[e.name])
+            try:
+                v = self.const_value(e.name)
+                c = next(iter(leaves(v))).lin.try_constant(self.ev.flat.p)
+                if c is not None:
+                    return ("i", c)
+            except Exception:
+                pass
+            return ("c", e.name)
+        if isinstance(e, A.BinaryOp):
+            return (e.op, self._expr_key(e.left, gidx), self._expr_key(e.right, gidx))
+        if isinstance(e, A.UnaryOp):
+            return (e.op, self._expr_key(e.operand, gidx))
+        return ("?", id(e))
+
+    def _type_key(self, t, gidx, erase: bool = False):
+        """erase=True keeps only literal sizes (the reference's checker can
+        distinguish literal-sized overloads but not named/generic sizes —
+        examples/array_overload vs compile_errors/ambiguous_generic_call)."""
+
+        def size_key(e):
+            if not erase:
+                return self._expr_key(e, gidx)
+            return ("i", e.value) if isinstance(e, A.IntLiteral) else None
+
+        if isinstance(t, A.BasicType):
+            return ("b", t.name)
+        if isinstance(t, A.ArrayType):
+            return ("a", size_key(t.size), self._type_key(t.element, gidx, erase))
+        if isinstance(t, A.TupleType):
+            return ("t",) + tuple(self._type_key(x, gidx, erase) for x in t.elements)
+        if isinstance(t, A.UserType):
+            gens = tuple(size_key(g) for g in (t.generics or []))
+            return ("u", t.name, gens)
+        return ("?", repr(t))
+
+    def _sig_key(self, fn, erase: bool = False):
+        gidx = {g: i for i, g in enumerate(fn.generics or [])}
+        params = tuple(self._type_key(p.ty, gidx, erase) for p in fn.params)
+        ret = self._type_key(fn.return_ty, gidx, erase) if fn.return_ty else None
+        return (params, ret)
+
+    def _type_idents(self, t, acc):
+        """Collect identifier names used in a type's size expressions."""
+        def expr_ids(e):
+            if isinstance(e, A.Ident):
+                acc.add(e.name)
+            elif isinstance(e, A.BinaryOp):
+                expr_ids(e.left)
+                expr_ids(e.right)
+            elif isinstance(e, A.UnaryOp):
+                expr_ids(e.operand)
+
+        if isinstance(t, A.ArrayType):
+            expr_ids(t.size)
+            self._type_idents(t.element, acc)
+        elif isinstance(t, A.TupleType):
+            for x in t.elements:
+                self._type_idents(x, acc)
+        elif isinstance(t, A.UserType):
+            for g in t.generics or []:
+                expr_ids(g)
+
+    def _check_declarations(self):
+        m = self.module
+        for name, fns in m.functions.items():
+            for fn in fns:
+                if name != "main":
+                    for p in fn.params:
+                        if p.private is not None:
+                            raise CompileError(
+                                "visibility modifiers are only allowed on "
+                                "main's parameters",
+                                fn.span,
+                                m.path,
+                            )
+                for g in fn.generics or []:
+                    # a generic conflicts only with a module-local constant
+                    # declared EARLIER in the file (the reference checker is
+                    # order-sensitive: struct_generic_inference declares the
+                    # constant after the generic function and is legal)
+                    c = m.constants.get(g)
+                    if c is not None and c.span < fn.span:
+                        raise CompileError(
+                            f"generic parameter {g} conflicts with the "
+                            "constant of the same name",
+                            fn.span,
+                            m.path,
+                        )
+            # duplicate signatures modulo generic renaming / constant values
+            seen = {}
+            for fn in fns:
+                key = self._sig_key(fn)
+                if key in seen:
+                    raise CompileError(
+                        f"duplicate definition of function {name} with "
+                        "an equivalent signature",
+                        fn.span,
+                        m.path,
+                    )
+                seen[key] = fn
+        for name, s in m.structs.items():
+            gens = list(s.generics or [])
+            if len(set(gens)) != len(gens):
+                raise CompileError(
+                    f"duplicate generic parameter on struct {name}",
+                    s.span,
+                    m.path,
+                )
+            used = set()
+            for _, ft in s.fields:
+                self._type_idents(ft, used)
+            for g in gens:
+                if g not in used:
+                    raise CompileError(
+                        f"unused generic parameter {g} on struct {name}",
+                        s.span,
+                        m.path,
+                    )
+            for u in used:
+                if u not in gens and u not in self.symbols:
+                    raise CompileError(
+                        f"undeclared identifier {u} in struct {name}",
+                        s.span,
+                        m.path,
+                    )
 
     def lookup(self, name: str) -> Optional[Symbol]:
         return self.symbols.get(name)
@@ -105,7 +242,13 @@ class ModuleCtx:
             assert sym.kind == "const"
             ctx = sym.module
             ty = ctx.ev.concretize_type(sym.const.ty, ctx, {})
-            val = ctx.ev.eval_expr(sym.const.value, _Frame(ctx, {}, {}), expected=ty)
+            ctx.ev._in_const_def = getattr(ctx.ev, "_in_const_def", 0) + 1
+            try:
+                val = ctx.ev.eval_expr(
+                    sym.const.value, _Frame(ctx, {}, {}), expected=ty
+                )
+            finally:
+                ctx.ev._in_const_def -= 1
             val = ctx.ev.coerce(val, ty, sym.const.span)
             for leaf in leaves(val):
                 if leaf.lin.try_constant(ctx.ev.flat.p) is None:
@@ -129,6 +272,50 @@ class _Frame:
 class _Return(Exception):
     def __init__(self, value: Optional[Value]):
         self.value = value
+
+
+def _subst_expr(e, sub):
+    """Substitute Ident(name) -> sub[name] in a size expression (syntactic
+    alias-generic expansion for inference)."""
+    if isinstance(e, A.Ident) and e.name in sub and sub[e.name] is not None:
+        return sub[e.name]
+    if isinstance(e, A.BinaryOp):
+        return A.BinaryOp(
+            span=e.span, op=e.op, left=_subst_expr(e.left, sub),
+            right=_subst_expr(e.right, sub),
+        )
+    if isinstance(e, A.UnaryOp):
+        return A.UnaryOp(span=e.span, op=e.op, operand=_subst_expr(e.operand, sub))
+    return e
+
+
+def _subst_type(t, sub):
+    if isinstance(t, A.ArrayType):
+        return A.ArrayType(
+            element=_subst_type(t.element, sub), size=_subst_expr(t.size, sub)
+        )
+    if isinstance(t, A.TupleType):
+        return A.TupleType(elements=[_subst_type(x, sub) for x in t.elements])
+    if isinstance(t, A.UserType):
+        gens = (
+            None
+            if t.generics is None
+            else [None if g is None else _subst_expr(g, sub) for g in t.generics]
+        )
+        return A.UserType(name=t.name, generics=gens)
+    return t
+
+
+def _untyped_int_expr(e) -> bool:
+    """Syntactically untyped {integer} expression: unsuffixed int literals
+    composed with arithmetic only (no typed leaf fixes the type)."""
+    if isinstance(e, A.IntLiteral):
+        return e.suffix is None
+    if isinstance(e, A.UnaryOp) and e.op in ("neg", "pos"):
+        return _untyped_int_expr(e.operand)
+    if isinstance(e, A.BinaryOp) and e.op in ("+", "-", "*", "/", "%", "**"):
+        return _untyped_int_expr(e.left) and _untyped_int_expr(e.right)
+    return False
 
 
 class Evaluator:
@@ -206,6 +393,13 @@ class Evaluator:
 
     def const_u32(self, e: A.Expr, ctx: ModuleCtx, generics: Dict[str, int], env=None) -> int:
         v = self.eval_expr(e, _Frame(ctx, env or {}, generics), expected=U32)
+        if not getattr(v, "_untyped", False) and not (
+            isinstance(v, UintVal) and v.ty.width == 32
+        ):
+            # sizes are u32 (compile_errors/constant_array_size_type_mismatch)
+            raise CompileError(
+                f"expected a u32 size expression, got {v.ty}", e.span, ctx.module.path
+            )
         leaf = leaves(v)[0]
         c = leaf.lin.try_constant(self.flat.p)
         if c is None:
@@ -277,7 +471,9 @@ class Evaluator:
             abi_inputs.append({"name": p.name, "public": not private, "type": ty.abi()})
 
         ret_ty = self.concretize_type(fn.return_ty, sym.module, {}) if fn.return_ty else TupleT(())
-        frame = _Frame(sym.module, env, {}, ret_ty)
+        # frame.ret_ty None = no declared return type (an explicit `-> ()`
+        # does accept `return <empty tuple>`, corpus core/tuples/empty)
+        frame = _Frame(sym.module, env, {}, ret_ty if fn.return_ty else None)
         ret_val: Optional[Value] = None
         try:
             self.exec_block(fn.body, frame)
@@ -285,10 +481,13 @@ class Evaluator:
             ret_val = r.value
 
         out_count = 0
+        if ret_val is not None:
+            # coerce even for size-0 types: struct equivalence is nominal
+            # (compile_errors/no_struct_equivalence)
+            ret_val = self.coerce(ret_val, ret_ty, fn.span)
         if ret_ty.size() > 0:
             if ret_val is None:
                 raise CompileError("missing return value in main")
-            ret_val = self.coerce(ret_val, ret_ty, fn.span)
             out_leaves = leaves(ret_val)
             for i, leaf in enumerate(out_leaves):
                 lin = leaf.lin
@@ -326,7 +525,13 @@ class Evaluator:
 
     # -- statements --------------------------------------------------------
     def exec_block(self, stmts: Sequence[A.Stmt], frame: _Frame):
-        for s in stmts:
+        for i, s in enumerate(stmts):
+            if isinstance(s, A.Return) and i + 1 < len(stmts):
+                raise CompileError(
+                    "unreachable statements after return",
+                    getattr(stmts[i + 1], "span", None),
+                    frame.ctx.module.path,
+                )
             self.exec_stmt(s, frame)
 
     def exec_scoped(self, stmts: Sequence[A.Stmt], frame: _Frame, declare=None):
@@ -380,6 +585,12 @@ class Evaluator:
                 sp[1],
             )
         if isinstance(s, A.Return):
+            if s.value is not None and frame.ret_ty is None:
+                raise CompileError(
+                    "unexpected return value in a function returning nothing",
+                    s.span,
+                    frame.ctx.module.path,
+                )
             val = (
                 self.eval_expr(s.value, frame, expected=frame.ret_ty)
                 if s.value is not None
@@ -411,6 +622,24 @@ class Evaluator:
                 )
             return
         if isinstance(s, A.Log):
+            # semantic checks run regardless of --debug (the reference
+            # type-checks before LogIgnorer strips): placeholder arity and
+            # no unresolvable {integer} literals
+            nph = s.format_string.count("{}")
+            if nph != len(s.args):
+                raise CompileError(
+                    f"log format expects {nph} argument(s), got {len(s.args)}",
+                    s.span,
+                    frame.ctx.module.path,
+                )
+            for e in s.args:
+                if _untyped_int_expr(e):
+                    raise CompileError(
+                        "cannot determine the type of this integer literal "
+                        "expression in log",
+                        getattr(e, "span", s.span),
+                        frame.ctx.module.path,
+                    )
             if self.log_enabled:
                 args = [self.eval_expr(e, frame) for e in s.args]
                 exprs = []
@@ -520,7 +749,7 @@ class Evaluator:
                 return (va.lin.scale(cb), [])
             return (_LC(), [(va.lin, vb.lin)])
         v = self.eval_expr(e, frame)
-        if getattr(v, "_untyped", False):
+        if getattr(v, "_untyped", False) and isinstance(v, (FieldVal, UintVal)):
             return (_LC.constant(v.lin.try_constant(self.flat.p)), [])
         if isinstance(v, FieldVal):
             return (v.lin, [])
@@ -559,6 +788,14 @@ class Evaluator:
             lhs = self.eval_expr(s.lhs, frame)
             rhs = self.eval_expr(s.rhs, frame)
             lhs, rhs = self._unify(lhs, rhs, s.span)
+            if not (isinstance(lhs, FieldVal) and isinstance(rhs, FieldVal)):
+                # `===` constrains scalar field combinations only
+                # (compile_errors/assembly/unallowed_type_in_constrained_*)
+                raise CompileError(
+                    f"assembly constraints must be field-typed, got {lhs.ty}",
+                    s.span,
+                    frame.ctx.module.path,
+                )
             flat.assert_eq(lhs, rhs, self._err(s.span, frame))
             return
         if isinstance(s, A.AsmAssign):
@@ -576,7 +813,30 @@ class Evaluator:
         """`x <-- expr`: witness-time evaluation with NO constraints — the
         expression becomes a Zir solver closure run by the interpreter."""
         flat = self.flat
+        tgt = s.assignee
+        while isinstance(tgt, (A.Index, A.Member, A.TupleMember)):
+            if isinstance(tgt, A.Index):
+                try:
+                    self.const_u32(tgt.index, frame.ctx, frame.generics, frame.env)
+                except CompileError:
+                    # (compile_errors/assembly/variable_index_assignment)
+                    raise CompileError(
+                        "variable array index assignment is not allowed in "
+                        "assembly",
+                        s.span,
+                        frame.ctx.module.path,
+                    )
+            tgt = tgt.base
         cur = self.eval_expr(s.assignee, frame)
+        if not all(isinstance(leaf, FieldVal) for leaf in leaves(cur)):
+            # reference AssemblyTransformer: assembly assigns field values
+            # (arrays/tuples of field are fine — corpus assembly/assignment;
+            # bools are not — compile_errors/assembly/unallowed_type_*)
+            raise CompileError(
+                f"only field assignments are allowed in assembly, got {cur.ty}",
+                s.span,
+                frame.ctx.module.path,
+            )
         if self.witness_mode:
             # already inside a solver closure: everything is constant, so
             # just evaluate and assign directly
@@ -606,6 +866,26 @@ class Evaluator:
                             walk(it)
 
         walk(s.value)
+
+        # constant propagation (reference ZirPropagator over asm blocks,
+        # corpus core/assembly/propagation/*): if every free variable is a
+        # compile-time constant, evaluate the expression now and assign the
+        # result directly — no directive, no witness-time solver
+        if all(
+            all(
+                leaf.lin.try_constant(flat.p) is not None
+                for leaf in leaves(frame.env[n])
+            )
+            for n in names
+        ):
+            self.witness_mode = True
+            try:
+                val = self.eval_expr(s.value, frame, expected=cur.ty)
+            finally:
+                self.witness_mode = False
+            val = self.coerce(val, cur.ty, s.span)
+            self._store(s.assignee, val, frame, s.span)
+            return
 
         input_lins = []
         in_specs = []  # (name, type, leaf kinds)
@@ -683,11 +963,42 @@ class Evaluator:
                 raise CompileError("cannot index non-array", span)
             if isinstance(target.index, A.RangeExpr):
                 raise CompileError("cannot assign to a slice", span)
-            idx = self.const_u32(target.index, frame.ctx, frame.generics, frame.env)
-            if idx >= base.ty.length:
-                raise CompileError(f"index {idx} out of bounds", span)
-            new_items = list(base.items)
-            new_items[idx] = val
+            idx_val = self.eval_expr(target.index, frame, expected=U32)
+            c = leaves(idx_val)[0].lin.try_constant(self.flat.p)
+            if c is not None:
+                if c >= base.ty.length:
+                    raise CompileError(f"index {c} out of bounds", span)
+                new_items = list(base.items)
+                new_items[c] = val
+            else:
+                # dynamic index write: per-slot mux + one-hot bounds check
+                # (reference VariableWriteRemover, analysis/variable_write_
+                # remover.rs — a[i] = v becomes a[j] = i == j ? v : a[j])
+                if not isinstance(idx_val, (UintVal, FieldVal)):
+                    raise CompileError("index must be an integer", span)
+                flat = self.flat
+                conds = []
+                for j in range(base.ty.length):
+                    if isinstance(idx_val, UintVal):
+                        conds.append(
+                            flat.u_eq(idx_val, flat.u_const(j, idx_val.width))
+                        )
+                    else:
+                        conds.append(flat.f_eq(idx_val, flat.f_const(j)))
+                from ..ir.program import LinComb as _LC, QuadComb as _QC
+
+                onehot = _LC()
+                for cd in conds:
+                    onehot = onehot + cd.lin
+                flat.constraint(
+                    _QC.from_lin(flat.reduce_lin(onehot)),
+                    _LC.one(),
+                    "index out of bounds",
+                )
+                new_items = [
+                    flat.select(conds[j], val, old)
+                    for j, old in enumerate(base.items)
+                ]
             self._store(target.base, ArrayVal(base.ty.element, new_items), frame, span)
             return
         if isinstance(target, A.Member):
@@ -713,6 +1024,19 @@ class Evaluator:
         """Resolve untyped literals between two operands."""
         au = getattr(a, "_untyped", False)
         bu = getattr(b, "_untyped", False)
+        if (au and not isinstance(a, (FieldVal, UintVal))) or (
+            bu and not isinstance(b, (FieldVal, UintVal))
+        ):
+            # untyped aggregate literals ([1, 2], [[1]]): adapt to the other
+            # side's type; shape mismatches are compile errors
+            # (compile_errors/generics/{no_weak_eq,concrete_length_mismatch})
+            if au and not bu:
+                return self.coerce(a, b.ty, span), b
+            if bu and not au:
+                return a, self.coerce(b, a.ty, span)
+            if a.ty != b.ty:
+                raise CompileError(f"cannot compare {a.ty} and {b.ty}", span)
+            return a, b
         if au and not bu:
             c = a.lin.try_constant(self.flat.p)
             a = self.make_literal(c, b.ty if not isinstance(b.ty, BoolT) else FIELD, span)
@@ -752,11 +1076,25 @@ class Evaluator:
                 return flat.u_const(frame.generics[e.name], 32)
             sym = frame.ctx.lookup(e.name)
             if sym is not None and sym.kind == "const":
-                return sym.module.const_value(e.name)
+                # resolve via the ctx the lookup happened in — the name may
+                # be an import alias absent from the owner module's table
+                return frame.ctx.const_value(e.name)
             if sym is not None and sym.kind == "embed" and sym.embed == "FIELD_SIZE_IN_BITS":
                 return flat.u_const(self.F.BITS, 32)
             raise CompileError(f"undefined identifier {e.name}", e.span, frame.ctx.module.path)
         if isinstance(e, A.UnaryOp):
+            if (
+                e.op in ("neg", "pos")
+                and isinstance(e.operand, A.UnaryOp)
+                and e.operand.op in ("neg", "pos")
+            ):
+                # reference grammar forbids chained sign operators
+                # (compile_errors/double_negation)
+                raise CompileError(
+                    "unary sign operators cannot be chained",
+                    e.span,
+                    frame.ctx.module.path,
+                )
             v = self.eval_expr(e.operand, frame, expected)
             if e.op == "not":
                 if isinstance(v, BoolVal):
@@ -799,9 +1137,22 @@ class Evaluator:
             return TupleVal(items)
         if isinstance(e, A.InlineStruct):
             sym = frame.ctx.lookup(e.name)
-            if sym is None or sym.kind != "struct":
+            if sym is None or sym.kind not in ("struct", "alias"):
                 raise CompileError(f"unknown struct {e.name}", e.span)
-            if isinstance(expected, StructT) and expected.name == e.name:
+            if sym.kind == "alias":
+                # struct literal through a type alias (examples/alias/
+                # struct_aliasing): resolve to the underlying struct; a
+                # generic alias needs the expected type to fix its generics
+                if isinstance(expected, StructT):
+                    sty = expected
+                else:
+                    res = self.concretize_type(
+                        A.UserType(e.name, None), frame.ctx, frame.generics
+                    )
+                    if not isinstance(res, StructT):
+                        raise CompileError(f"{e.name} is not a struct", e.span)
+                    sty = res
+            elif isinstance(expected, StructT) and expected.name == e.name:
                 sty = expected
             else:
                 # infer generics from member values is not supported; need
@@ -1259,6 +1610,24 @@ class Evaluator:
             return self._eval_embed(sym.embed, explicit, args, e.span, expected)
         if sym.kind != "function":
             raise CompileError(f"{name} is not a function", e.span)
+        if len(sym.functions) > 1:
+            # the reference's checker resolves overloads without evaluating
+            # generic values: two candidates whose signatures differ only in
+            # size expressions are ambiguous at every call
+            # (compile_errors/ambiguous_generic_call*, non_conflicting_call)
+            erased = {}
+            for fn in sym.functions:
+                if len(fn.params) != len(args):
+                    continue
+                k = sym.module._sig_key(fn, erase=True)
+                if k in erased:
+                    raise CompileError(
+                        f"ambiguous call to {name}: multiple candidates "
+                        "differ only in generic/constant array sizes",
+                        e.span,
+                        frame.ctx.module.path,
+                    )
+                erased[k] = fn
         errors = []
         for fn in sym.functions:
             try:
@@ -1284,11 +1653,11 @@ class Evaluator:
                     genv[g] = v
         # infer generics from argument types
         for p, a in zip(fn.params, args):
-            self._infer(p.ty, a.ty, genv, ctx, getattr(a, "_untyped", False))
+            self._infer(p.ty, a.ty, genv, ctx, getattr(a, "_untyped", False), gnames=frozenset(fn.generics))
         # infer from expected return type
         if expected is not None and fn.return_ty is not None:
             try:
-                self._infer(fn.return_ty, expected, genv, ctx, False)
+                self._infer(fn.return_ty, expected, genv, ctx, False, gnames=frozenset(fn.generics))
             except _SignatureMismatch:
                 raise
         missing = [g for g in fn.generics if g not in genv]
@@ -1312,7 +1681,7 @@ class Evaluator:
                 raise _SignatureMismatch(f"return type {ret_ty} != expected {expected}")
         # execute (inline)
         env = {p.name: a for p, a in zip(fn.params, coerced)}
-        sub = _Frame(ctx, env, genv, ret_ty)
+        sub = _Frame(ctx, env, genv, ret_ty if fn.return_ty else None)
         try:
             self.exec_block(fn.body, sub)
         except _Return as r:
@@ -1321,8 +1690,10 @@ class Evaluator:
             return self.coerce(r.value, ret_ty, span)
         return TupleVal([])
 
-    def _infer(self, t: A.TypeNode, concrete: CType, genv: Dict[str, int], ctx: ModuleCtx, untyped: bool):
-        """Unify syntactic type t against concrete type, filling genv."""
+    def _infer(self, t: A.TypeNode, concrete: CType, genv: Dict[str, int], ctx: ModuleCtx, untyped: bool, gnames=frozenset()):
+        """Unify syntactic type t against concrete type, filling genv.
+        gnames = the resolved function's declared generic names: they are
+        bindable even when they shadow a module-level constant."""
         if isinstance(t, A.BasicType):
             want = {"field": FieldT, "bool": BoolT}.get(t.name)
             if untyped and t.name in ("field", "u8", "u16", "u32", "u64"):
@@ -1340,7 +1711,7 @@ class Evaluator:
                 raise _SignatureMismatch(f"array != {concrete}")
             # size: if it's a bare generic ident, bind it
             se = t.size
-            if isinstance(se, A.Ident) and se.name not in ctx.symbols:
+            if isinstance(se, A.Ident) and (se.name in gnames or se.name not in ctx.symbols):
                 if se.name in genv:
                     if genv[se.name] != concrete.length:
                         raise _SignatureMismatch(
@@ -1355,13 +1726,13 @@ class Evaluator:
                         raise _SignatureMismatch(f"array size {want} != {concrete.length}")
                 except CompileError:
                     pass  # size expression uses not-yet-inferred generics
-            self._infer(t.element, concrete.element, genv, ctx, untyped)
+            self._infer(t.element, concrete.element, genv, ctx, untyped, gnames)
             return
         if isinstance(t, A.TupleType):
             if not isinstance(concrete, TupleT) or len(t.elements) != len(concrete.elements):
                 raise _SignatureMismatch(f"tuple != {concrete}")
             for te, ce in zip(t.elements, concrete.elements):
-                self._infer(te, ce, genv, ctx, untyped)
+                self._infer(te, ce, genv, ctx, untyped, gnames)
             return
         if isinstance(t, A.UserType):
             sym = ctx.lookup(t.name)
@@ -1369,23 +1740,31 @@ class Evaluator:
                 raise _SignatureMismatch(f"unknown type {t.name}")
             if sym.kind == "alias":
                 al = sym.alias
-                if t.generics and al.generics:
-                    sub_genv = {}
-                    # map alias generics through
-                    for g, ge in zip(al.generics, t.generics):
-                        pass
-                # expand alias syntactically with generics substituted lazily:
-                # only simple (non-generic) aliases supported in inference
-                if not al.generics:
-                    self._infer(al.target, concrete, genv, sym.module, untyped)
+                if al.generics:
+                    # substitute the use-site size expressions for the alias
+                    # generics, then infer against the expanded target
+                    # (examples/alias/basic_aliasing: fill() -> matrix<R, C>)
+                    if not t.generics or len(t.generics) != len(al.generics):
+                        raise _SignatureMismatch(
+                            f"alias {t.name} expects {len(al.generics)} generics"
+                        )
+                    sub = dict(zip(al.generics, t.generics))
+                    # resolve the expanded target in the alias's own module
+                    # (its type names live there); caller generics still
+                    # bind through gnames
+                    self._infer(
+                        _subst_type(al.target, sub), concrete, genv,
+                        sym.module, untyped, gnames,
+                    )
                     return
-                raise _SignatureMismatch("generic alias in inference position")
+                self._infer(al.target, concrete, genv, sym.module, untyped, gnames)
+                return
             if sym.kind == "struct":
                 if not isinstance(concrete, StructT) or concrete.name != t.name:
                     raise _SignatureMismatch(f"{t.name} != {concrete}")
                 if t.generics:
                     for gexpr, gval in zip(t.generics, concrete.generics):
-                        if isinstance(gexpr, A.Ident) and gexpr.name not in ctx.symbols:
+                        if isinstance(gexpr, A.Ident) and (gexpr.name in gnames or gexpr.name not in ctx.symbols):
                             if gexpr.name in genv and genv[gexpr.name] != gval:
                                 raise _SignatureMismatch("generic conflict")
                             genv[gexpr.name] = gval
@@ -1397,6 +1776,12 @@ class Evaluator:
         flat = self.flat
         if name == "FIELD_SIZE_IN_BITS":
             return flat.u_const(self.F.BITS, 32)
+        if getattr(self, "_in_const_def", 0):
+            # constants must reduce without gadget calls
+            # (compile_errors/constant_reduction_fail)
+            raise CompileError(
+                f"embed {name} cannot be called in a constant definition", span
+            )
         if name == "unpack":
             if explicit and explicit[0] is not None:
                 n = explicit[0]
@@ -1407,6 +1792,14 @@ class Evaluator:
             (a,) = args
             if not isinstance(a, FieldVal):
                 a = FieldVal(a.lin)
+            c = flat.const_of(a)
+            if c is not None and c >= (1 << n):
+                # explicit unpack of an oversized constant is a compile
+                # error (compile_errors/unpack_value_too_large), unlike the
+                # lt gadget's internal decomposition which fails at runtime
+                raise CompileError(
+                    f"cannot unpack constant {c} into {n} bits", span
+                )
             bits = flat.decompose(a.lin, n)
             return ArrayVal(BOOL, bits)
         if name == "field_to_bool_unsafe":
@@ -1414,6 +1807,12 @@ class Evaluator:
             return BoolVal(a.lin)
         if name == "bit_array_le":
             a, b = args
+            if any(flat.const_of(x) is None for x in b.items):
+                # reference embed requires a constant comparand
+                # (compile_errors/variable_constant_lt)
+                raise CompileError(
+                    "bit_array_le requires a constant second argument", span
+                )
             return self._bit_array_le(a, b, span)
         m = _UINT_EMBED.match(name) if hasattr(_UINT_EMBED, "match") else None
         if name.endswith("_to_bits"):

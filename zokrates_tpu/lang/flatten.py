@@ -399,9 +399,15 @@ class Flattener:
         nbits >= bits this is the documented-unsafe unpack)."""
         c = lin.try_constant(self.p)
         if c is not None:
-            if c >= (1 << nbits):
-                raise FlattenError(f"constant {c} does not fit in {nbits} bits")
-            return [self.b_const(bool((c >> (nbits - 1 - i)) & 1)) for i in range(nbits)]
+            if c < (1 << nbits):
+                return [
+                    self.b_const(bool((c >> (nbits - 1 - i)) & 1))
+                    for i in range(nbits)
+                ]
+            # out-of-range constant: emit the runtime gadget anyway so the
+            # failure surfaces at witness generation (the reference's
+            # runtime_errors semantics, e.g. lt_overflow_max_plus_1_sym —
+            # the recomposition constraint is unsatisfiable)
         key = (self._lin_key(lin), nbits)
         if cache and key in self.bits_cache:
             return [BoolVal(b) for b in self.bits_cache[key]]

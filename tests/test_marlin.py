@@ -77,3 +77,34 @@ class TestMarlin:
         srs = marlin.universal_setup("bn128", 8, rng=_drng(3))
         with pytest.raises(ValueError, match="universal SRS degree"):
             marlin.setup_with_srs(srs, r1cs)
+
+
+class TestMarlinZK:
+    def test_proofs_are_randomized(self):
+        """zk masks: two proofs of the same witness reveal different
+        evaluations and commitments (the round-1 polynomials carry fresh
+        v_H multiples + hiding blinders each time)."""
+        prog = cube_prog()
+        r1cs = r1cs_from_prog(prog)
+        wit = Interpreter().execute(prog, [3])
+        srs = marlin.universal_setup("bn128", 64, rng=_drng(5))
+        pk, vk = marlin.setup_with_srs(srs, r1cs)
+        p1 = marlin.prove(r1cs, pk, wit)
+        p2 = marlin.prove(r1cs, pk, wit)
+        assert marlin.verify(vk, p1) and marlin.verify(vk, p2)
+        assert p1.points["commitments"]["w"] != p2.points["commitments"]["w"]
+        assert (
+            p1.points["evals_beta"]["w"] != p2.points["evals_beta"]["w"]
+            or p1.points["evals_beta"]["z_a"] != p2.points["evals_beta"]["z_a"]
+        )
+
+    def test_solidity_export(self):
+        prog = cube_prog()
+        r1cs = r1cs_from_prog(prog)
+        srs = marlin.universal_setup("bn128", 64, rng=_drng(11))
+        pk, vk = marlin.setup_with_srs(srs, r1cs)
+        from zokrates_tpu.schemes.solidity import export_solidity_verifier
+
+        sol = export_solidity_verifier(vk)
+        assert "MarlinVerifier" in sol and "INIT_STATE" in sol
+        assert "verifyTx" in sol

@@ -169,16 +169,29 @@ def _pdiv_linear(p: Sequence[int], root: int, r: int) -> List[int]:
 
 
 class _Transcript:
+    """Fiat-Shamir transcript over keccak-256 (the reference's
+    HashFiatShamirRng<Keccak256>, zokrates_ark/src/marlin.rs:37-107, uses
+    the same hash precisely because the EVM has a native KECCAK256 opcode).
+
+    State chaining is one keccak per absorption — replayable in Solidity:
+        state = keccak256(state || value_96_bytes_be)
+        challenge_i = keccak256(state || be64(ctr)) mod r
+    Values absorb as 96-byte big-endian words so every supported curve's
+    coordinates (incl. BW6-761's 761-bit Fq) encode uniformly."""
+
     def __init__(self, label: bytes):
-        self._h = hashlib.sha3_256(label)
+        from ..utils.keccak import keccak256
+
+        self._k = keccak256
+        self._state = keccak256(label)
         self._ctr = 0
 
     def absorb_int(self, v: int):
-        self._h.update(v.to_bytes(64, "big", signed=False))
+        self._state = self._k(self._state + int(v).to_bytes(96, "big"))
 
     def absorb_point(self, pt) -> None:
         if pt is None or (isinstance(pt, PointG1) and pt.x is None):
-            self._h.update(b"\x00" * 8)
+            self._state = self._k(self._state + b"\x00" * 8)
             return
         if isinstance(pt, PointG1):
             self.absorb_int(pt.x)
@@ -193,11 +206,10 @@ class _Transcript:
 
     def squeeze(self, r: int) -> int:
         while True:
-            h = self._h.copy()
-            h.update(b"squeeze" + self._ctr.to_bytes(8, "big"))
+            out = self._k(self._state + self._ctr.to_bytes(8, "big"))
             self._ctr += 1
-            v = int.from_bytes(h.digest() + h.digest()[:16], "big") % r
-            if v not in (0,):
+            v = int.from_bytes(out, "big") % r
+            if v:
                 return v
 
 
@@ -272,7 +284,9 @@ def setup_with_srs(srs: kzg.SRS, r1cs: R1CS) -> Tuple[ProvingKey, VerificationKe
         sum(1 for row in m for _, c in row if c % r) for m in (r1cs.A, r1cs.B, r1cs.C)
     )
     k = _next_pow2(max(nnz, 2))
-    need = max(n - 1, 6 * k - 7, 1)
+    # +1 over the unmasked degrees: the zk masks add one v_H multiple to
+    # the round-1 polynomials (degree n) and the sumcheck mask has degree n
+    need = max(n, 6 * k - 7, 1)
     if srs.max_degree < need:
         raise ValueError(
             f"universal SRS degree {srs.max_degree} < required {need} "
@@ -316,6 +330,9 @@ def setup_with_srs(srs: kzg.SRS, r1cs: R1CS) -> Tuple[ProvingKey, VerificationKe
             "index_comms": index_comms_json,
             "h": g2_to_json(srs.h, curve),
             "tau_h": g2_to_json(srs.tau_h, curve),
+            "gamma_g": list(srs.gamma_powers_g1[0])
+            if srs.gamma_powers_g1
+            else None,
         },
     )
     return pk, vk
@@ -325,7 +342,7 @@ def setup_with_srs(srs: kzg.SRS, r1cs: R1CS) -> Tuple[ProvingKey, VerificationKe
 # proving
 # ---------------------------------------------------------------------------
 
-_B_NAMES = ["w", "z_a", "z_b", "z_c", "h0", "g1", "s1", "h1"]
+_B_NAMES = ["w", "z_a", "z_b", "z_c", "h0", "s", "g1", "s1", "h1"]
 _D_NAMES = [
     "g2", "s2", "h2",
     "row_a", "col_a", "val_a",
@@ -373,15 +390,26 @@ def _instance_poly(x: Sequence[int], omega: int, r: int, curve: str) -> List[int
 
 
 def prove(r1cs: R1CS, pk: ProvingKey, witness: Witness, rng=None) -> Proof:
+    import secrets as _secrets
+
     curve = pk.curve
     r = P.SCALAR_FIELDS[curve].p
     n, k, ni = pk.n, pk.k, pk.num_instance
     D = pk.srs.max_degree
     dom = domain_for_curve(curve, n)
     omega = dom.omega
+    rand = rng or (lambda: _secrets.randbelow(r))
 
     z = [v % r for v in r1cs.full_assignment(witness)]
     x = z[:ni]
+
+    # zk masks (ark-marlin zk_bound=1): one random v_H multiple per round-1
+    # polynomial randomizes its (single) out-of-domain evaluation, and the
+    # sumcheck mask polynomial s (random, sum_H s = 0) randomizes g1/h1.
+    vh = [(-1) % r] + [0] * (n - 1) + [1]       # v_H = X^n - 1
+    rho = {m: rand() for m in ("w", "a", "b", "c")}
+    s_mask = [rand() for _ in range(n + 1)]
+    s_mask[0] = (-s_mask[n]) % r                # sum over H of X^j is n iff n|j
 
     # round 1: witness + Mz polynomials --------------------------------------
     z_pad = z + [0] * (n - len(z))
@@ -389,23 +417,31 @@ def prove(r1cs: R1CS, pk: ProvingKey, witness: Witness, rng=None) -> Proof:
     za_e = _matrix_evals(r1cs.A, z, n, r)
     zb_e = _matrix_evals(r1cs.B, z, n, r)
     zc_e = _matrix_evals(r1cs.C, z, n, r)
-    z_a = _trim(dom.ifft_ints(za_e))
-    z_b = _trim(dom.ifft_ints(zb_e))
-    z_c = _trim(dom.ifft_ints(zc_e))
+    z_a = _padd(_trim(dom.ifft_ints(za_e)), _pscale(vh, rho["a"], r), r)
+    z_b = _padd(_trim(dom.ifft_ints(zb_e)), _pscale(vh, rho["b"], r), r)
+    z_c = _padd(_trim(dom.ifft_ints(zc_e)), _pscale(vh, rho["c"], r), r)
 
     h0, rem = _pdiv_vanishing(_psub(_pmul(z_a, z_b, r, curve), z_c, r), n, r)
     assert not rem, "rowcheck: zA*zB - zC does not vanish on H (bad witness?)"
 
     xhat = _instance_poly(x, omega, r, curve)
     wbar = _psub(zhat, xhat, r)
+    v_hx = [1]
     for i in range(ni):
-        wbar = _pdiv_linear(wbar, pow(omega, i, r), r)
+        wr = pow(omega, i, r)
+        wbar = _pdiv_linear(wbar, wr, r)
+        v_hx = _pmul(v_hx, [(-wr) % r, 1], r, curve)
+    wbar = _padd(wbar, _pscale(vh, rho["w"], r), r)
+    # the z-hat the verifier reconstructs: w' * v_Hx + x-hat
+    zhat = _padd(zhat, _pscale(_pmul(vh, v_hx, r, curve), rho["w"], r), r)
 
     tr = _start_transcript(curve, n, k, ni, D, pk.index_comms, x, r)
-    polys1 = {"w": wbar, "z_a": z_a, "z_b": z_b, "z_c": z_c, "h0": h0}
+    polys1 = {"w": wbar, "z_a": z_a, "z_b": z_b, "z_c": z_c, "h0": h0, "s": s_mask}
+    blinders: Dict[str, List[int]] = {}
     comms: Dict[str, PointG1] = {}
-    for name in ("w", "z_a", "z_b", "z_c", "h0"):
-        comms[name] = kzg.commit(pk.srs, polys1[name] or [0])
+    for name in ("w", "z_a", "z_b", "z_c", "h0", "s"):
+        blinders[name] = kzg.rand_blinder(curve, rand)
+        comms[name] = kzg.commit_hiding(pk.srs, polys1[name] or [0], blinders[name])
         tr.absorb_point(comms[name])
 
     alpha = tr.squeeze(r)
@@ -430,13 +466,18 @@ def prove(r1cs: R1CS, pk: ProvingKey, witness: Witness, rng=None) -> Proof:
         r,
     )
     u_alpha = [pow(alpha, n - 1 - j, r) for j in range(n)]  # u_H(alpha, X)
-    p_sum = _psub(_pmul(u_alpha, z_eta, r, curve), _pmul(t_poly, zhat, r, curve), r)
+    p_sum = _padd(
+        s_mask,
+        _psub(_pmul(u_alpha, z_eta, r, curve), _pmul(t_poly, zhat, r, curve), r),
+        r,
+    )
     h1, rem = _pdiv_vanishing(p_sum, n, r)
     assert not rem or rem[0] == 0, "lincheck sum is nonzero"
     g1p = _trim(list(rem[1:]))
     s1 = [0] * (D - (n - 2)) + g1p if g1p else []
     for name, poly in (("g1", g1p), ("s1", s1), ("h1", h1)):
-        comms[name] = kzg.commit(pk.srs, poly or [0])
+        blinders[name] = kzg.rand_blinder(curve, rand)
+        comms[name] = kzg.commit_hiding(pk.srs, poly or [0], blinders[name])
         tr.absorb_point(comms[name])
 
     beta = tr.squeeze(r)
@@ -491,7 +532,7 @@ def prove(r1cs: R1CS, pk: ProvingKey, witness: Witness, rng=None) -> Proof:
     delta = tr.squeeze(r)
 
     # openings ---------------------------------------------------------------
-    beta_polys = [polys1["w"], z_a, z_b, z_c, h0, g1p, s1, h1]
+    beta_polys = [polys1["w"], z_a, z_b, z_c, h0, s_mask, g1p, s1, h1]
     delta_polys = [g2p, s2, h2] + [
         pk.mats[m].__dict__[part]
         for m in ("a", "b", "c")
@@ -503,8 +544,16 @@ def prove(r1cs: R1CS, pk: ProvingKey, witness: Witness, rng=None) -> Proof:
         tr.absorb_int(v)
     gamma_b = tr.squeeze(r)
     gamma_d = tr.squeeze(r)
-    _, proof_b = kzg.open_batch(pk.srs, [p or [0] for p in beta_polys], beta, gamma_b)
-    _, proof_d = kzg.open_batch(pk.srs, [p or [0] for p in delta_polys], delta, gamma_d)
+    _, proof_b, random_v_b = kzg.open_batch(
+        pk.srs,
+        [p or [0] for p in beta_polys],
+        beta,
+        gamma_b,
+        blinders=[blinders.get(nm) for nm in _B_NAMES],
+    )
+    _, proof_d, _ = kzg.open_batch(
+        pk.srs, [p or [0] for p in delta_polys], delta, gamma_d
+    )
 
     points = {
         "commitments": {name: _g1j(comms[name], curve) for name in comms},
@@ -513,6 +562,7 @@ def prove(r1cs: R1CS, pk: ProvingKey, witness: Witness, rng=None) -> Proof:
         "t_beta": fr_to_json(t_beta, curve),
         "batch_proof_beta": _g1j(proof_b, curve),
         "batch_proof_delta": _g1j(proof_d, curve),
+        "random_v_beta": fr_to_json(random_v_b, curve),
     }
     inputs = [fr_to_json(z[i], curve) for i in range(1, ni)]
     return Proof("marlin", curve, points, inputs)
@@ -546,7 +596,7 @@ def verify(vk: VerificationKey, proof: Proof) -> bool:
 
     # replay the transcript
     tr = _start_transcript(curve, n, k, ni, D, index_raw, x, r)
-    for name in ("w", "z_a", "z_b", "z_c", "h0"):
+    for name in ("w", "z_a", "z_b", "z_c", "h0", "s"):
         tr.absorb_point(comms[name])
     alpha = tr.squeeze(r)
     etas = {"a": tr.squeeze(r), "b": tr.squeeze(r), "c": tr.squeeze(r)}
@@ -593,7 +643,7 @@ def verify(vk: VerificationKey, proof: Proof) -> bool:
         return False
     u_ab = (v_h_alpha - v_h_beta) % r * pow((alpha - beta) % r, -1, r) % r
     z_eta_beta = (etas["a"] * eb["z_a"] + etas["b"] * eb["z_b"] + etas["c"] * eb["z_c"]) % r
-    lhs = (u_ab * z_eta_beta - t_beta * zhat_beta) % r
+    lhs = (eb["s"] + u_ab * z_eta_beta - t_beta * zhat_beta) % r
     rhs = (beta * eb["g1"] + eb["h1"] * v_h_beta) % r
     ok &= lhs == rhs
 
@@ -627,14 +677,20 @@ def verify(vk: VerificationKey, proof: Proof) -> bool:
         powers_g1=[],
         h=g2_from_json(data["h"], curve),
         tau_h=g2_from_json(data["tau_h"], curve),
+        gamma_powers_g1=[tuple(data["gamma_g"])] if data.get("gamma_g") else None,
     )
     beta_comms = [comms[nm] for nm in _B_NAMES]
     delta_comms = [comms["g2"], comms["s2"], comms["h2"]] + [
         index_comms[m][part] for m in ("a", "b", "c") for part in ("row", "col", "val")
     ]
+    rv_b = (
+        fr_from_json(proof.points["random_v_beta"], curve)
+        if "random_v_beta" in proof.points
+        else 0
+    )
     ok &= kzg.verify_batch(
         srs, beta_comms, beta, [eb[nm] for nm in _B_NAMES],
-        _g1p(proof.points["batch_proof_beta"], curve), gamma_b,
+        _g1p(proof.points["batch_proof_beta"], curve), gamma_b, rv_b,
     )
     ok &= kzg.verify_batch(
         srs, delta_comms, delta, [ed[nm] for nm in _D_NAMES],

@@ -99,10 +99,45 @@ class TestNova:
         assert resumed == direct
         assert nova.verify(r1cs, params, resumed)
 
-    def test_compress_unimplemented(self):
+    def test_compress_verifies(self):
         prog = square_step_prog()
         r1cs = r1cs_from_prog(prog)
         params = nova.setup(prog, r1cs)
         proof = nova.prove(prog, r1cs, params, [2], num_steps=1)
-        with pytest.raises(NotImplementedError):
-            nova.compress(proof)
+        assert nova.verify_compressed(
+            r1cs, params, nova.compress(r1cs, params, proof)
+        )
+
+
+class TestNovaCompress:
+    def test_compress_roundtrip(self):
+        prog = square_step_prog()
+        r1cs = r1cs_from_prog(prog)
+        params = nova.setup(prog, r1cs)
+        proof = nova.prove(prog, r1cs, params, [3], num_steps=3)
+        cproof = nova.compress(r1cs, params, proof)
+        assert nova.verify_compressed(r1cs, params, cproof)
+        # zk: the published opening is the blinded accumulator, not the
+        # resumable prover state
+        assert cproof.W_f != proof.final_W
+
+    def test_compress_tamper_fails(self):
+        prog = square_step_prog()
+        r1cs = r1cs_from_prog(prog)
+        params = nova.setup(prog, r1cs)
+        proof = nova.prove(prog, r1cs, params, [2], num_steps=2)
+        cproof = nova.compress(r1cs, params, proof)
+        from zokrates_tpu.fields import params as P
+
+        p = P.SCALAR_FIELDS["pallas"].p
+        cproof.W_f[0] = (cproof.W_f[0] + 1) % p
+        assert not nova.verify_compressed(r1cs, params, cproof)
+
+    def test_compress_tampered_state_fails(self):
+        prog = square_step_prog()
+        r1cs = r1cs_from_prog(prog)
+        params = nova.setup(prog, r1cs)
+        proof = nova.prove(prog, r1cs, params, [2], num_steps=2)
+        cproof = nova.compress(r1cs, params, proof)
+        cproof.zN = [123456]
+        assert not nova.verify_compressed(r1cs, params, cproof)

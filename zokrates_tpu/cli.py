@@ -151,11 +151,17 @@ def cmd_compute_witness(args):
         raw = args.arguments.split() if args.arguments else []
         inputs = [int(v) for v in raw]
 
-    # levelized device generator for big circuits (>= 4096 constraints),
-    # scalar walk for small ones (device dispatch overhead dominates there);
-    # both are bit-identical (tests/test_vectorized.py)
+    # levelized device generator for big circuits on TPU (>= 4096
+    # constraints), scalar walk otherwise: on CPU the per-level functional
+    # witness updates copy more than the scalar walk computes, and for
+    # small circuits dispatch overhead dominates; both paths are
+    # bit-identical (tests/test_vectorized.py)
+    import jax
+
     if args.vectorized or (
-        args.vectorized is None and prog.constraint_count() >= 4096
+        args.vectorized is None
+        and prog.constraint_count() >= 4096
+        and jax.default_backend() == "tpu"
     ):
         interp = VectorizedInterpreter()
     else:
@@ -423,7 +429,11 @@ def cmd_nova_verify(args):
         params = pickle.load(f)
     with open(args.proof, "rb") as f:
         proof = pickle.load(f)
-    if nova.verify(r1cs, params, proof):
+    if isinstance(proof, nova.CompressedNovaProof):
+        ok = nova.verify_compressed(r1cs, params, proof)
+    else:
+        ok = nova.verify(r1cs, params, proof)
+    if ok:
         print(f"PASSED ({proof.num_steps} step(s): {proof.z0} -> {proof.zN})")
     else:
         print("FAILED")
@@ -431,14 +441,21 @@ def cmd_nova_verify(args):
 
 
 def cmd_nova_compress(args):
+    from .ir.r1cs import r1cs_from_prog
     from .schemes import nova
 
+    prog = _load_prog(args.input)
+    r1cs = r1cs_from_prog(prog)
+    with open(args.params, "rb") as f:
+        params = pickle.load(f)
     with open(args.proof, "rb") as f:
         proof = pickle.load(f)
-    try:
-        nova.compress(proof)
-    except NotImplementedError as e:
-        _err(str(e))
+    if isinstance(proof, nova.CompressedNovaProof):
+        _err("proof is already compressed")
+    cproof = nova.compress(r1cs, params, proof)
+    with open(args.output, "wb") as f:
+        pickle.dump(cproof, f)
+    print(f"Compressed (zk-finalized) Nova proof written to '{args.output}'")
 
 
 # ---------------------------------------------------------------------------
@@ -587,8 +604,14 @@ def make_parser():
     c.add_argument("-p", "--params", default="nova.params")
     c.add_argument("-j", "--proof", default="nova.proof")
     c.set_defaults(fn=cmd_nova_verify)
-    c = sub.add_parser("nova-compress", help="Nova IVC: compress (Spartan; not yet implemented)")
+    c = sub.add_parser(
+        "nova-compress",
+        help="Nova IVC: zk-finalize a proof (blinded accumulator opening)",
+    )
+    c.add_argument("-i", "--input", default="out")
+    c.add_argument("-p", "--params", default="nova.params")
     c.add_argument("-j", "--proof", default="nova.proof")
+    c.add_argument("-o", "--output", default="nova.proof.compressed")
     c.set_defaults(fn=cmd_nova_compress)
 
     return p

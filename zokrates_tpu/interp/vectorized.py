@@ -245,7 +245,11 @@ def build_plan(prog: Prog) -> _Plan:
         else:
             raise PlanError(f"unknown statement {stmt!r}")
 
-    # pass 2: build device groups / host groups per level, cut segments
+    # pass 2: build device groups / host groups per level, cut segments.
+    # Segments are also capped in length: one giant traced function makes
+    # XLA compile time superlinear (sha256's 191 levels took minutes as a
+    # single jit); ~24 levels per executable keeps compiles seconds each.
+    MAX_SEG_LEVELS = 24
     segments: List[List[_Level]] = [[]]
     host_groups: List[Optional[List[Tuple[Directive, List[int]]]]] = []
 
@@ -283,6 +287,9 @@ def build_plan(prog: Prog) -> _Plan:
                 for d, s in items:
                     host.append((d, [dense[v] for v in d.outputs]))
         if device_groups:
+            if len(segments[-1]) >= MAX_SEG_LEVELS:
+                host_groups.append(None)
+                segments.append([])
             segments[-1].append(_Level(device_groups))
         if host:
             host_groups.append(host)

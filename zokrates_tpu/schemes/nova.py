@@ -19,13 +19,16 @@ Vector commitments are Pedersen over the program curve's G1
 (hash-to-curve-derived independent bases, committed with the device MSM);
 for the pasta curves this is the same commitment structure nova_snark uses.
 
-Divergence from the reference (round-2 items, documented honestly):
+Divergence from the reference (documented honestly):
   * the folding verifier runs natively instead of inside an augmented step
     circuit, so the proof carries the per-step strict instances
     (x_i, com(W_i), com(T_i)) and verification is O(steps) folds plus one
     O(|W|) final check — constant-size proofs need the in-circuit verifier
     + 2-cycle curve hopping;
-  * no Spartan compression (`compress` raises).
+  * `compress` implements the reference's CompressedSNARK API as a ZK
+    finalization (one extra fold with a uniformly random relaxed pair
+    blinds the revealed accumulator witness) — zero-knowledge, but not
+    Spartan-succinct: the compressed proof remains O(|W|).
 
 The chain is bound through the instances: x_i = (z_i, z_{i+1}) (public step
 arguments, then returns), and the verifier walks x_0..x_{N-1} checking
@@ -164,6 +167,40 @@ class NovaProof:
     steps: List[StepRecord]
     final_W: List[int]
     final_E: List[int]
+
+
+@dataclass
+class BlindRecord:
+    """Random relaxed instance used by the zk finalization fold."""
+
+    u: int
+    x: List[int]
+    com_w: Tuple[int, int]
+    com_e: Tuple[int, int]
+    com_t: Tuple[int, int]
+
+
+@dataclass
+class CompressedNovaProof:
+    """ZK-finalized IVC proof (the `compress` output, nova.rs:124-143).
+
+    The folded accumulator witness is blinded by one extra fold with a
+    uniformly random relaxed pair before being revealed: W_f = W + r·W_r
+    is uniform, so the published opening leaks nothing about the real
+    witness (honest-verifier zk in the random-oracle model). Divergence
+    from the reference (documented): the Spartan argument that would also
+    make the proof *succinct* is not implemented — this proof stays
+    O(|W|) in size, but is zero-knowledge and drops the per-step folded
+    accumulator of the resumable prover-state form."""
+
+    curve: str
+    num_steps: int
+    z0: List[int]
+    zN: List[int]
+    steps: List[StepRecord]
+    blind: BlindRecord
+    W_f: List[int]
+    E_f: List[int]
 
 
 class NovaError(ValueError):
@@ -403,8 +440,140 @@ def verify(r1cs: R1CS, params: NovaParams, proof: NovaProof) -> bool:
     )
 
 
-def compress(proof: NovaProof):
-    raise NotImplementedError(
-        "nova compress (Spartan CompressedSNARK, nova.rs:124-143) is not yet "
-        "implemented; verify() checks the uncompressed IVC proof"
+def _replay_fold(r1cs: R1CS, params: NovaParams, proof: NovaProof):
+    """Rebuild (transcript, folded instance) by replaying the step records."""
+    p = P.SCALAR_FIELDS[r1cs.curve].p
+    acc_U, _ = _trivial(r1cs.curve, r1cs.num_instance, r1cs.num_witness, r1cs.num_constraints)
+    tr = _start_transcript(params, [v % p for v in proof.z0], p)
+    for rec in proof.steps:
+        com_w2 = _pt(r1cs.curve, rec.com_w)
+        com_t = _pt(r1cs.curve, rec.com_t)
+        _absorb_step(tr, rec.x, com_w2, com_t)
+        acc_U = _fold_instance(acc_U, rec.x, com_w2, com_t, tr.squeeze(p), p)
+    return tr, acc_U
+
+
+def _cross_term_relaxed(r1cs: R1CS, z1, u1, z2, u2, p: int) -> List[int]:
+    az1, bz1, cz1 = (_mat_vec(m, z1, p) for m in (r1cs.A, r1cs.B, r1cs.C))
+    az2, bz2, cz2 = (_mat_vec(m, z2, p) for m in (r1cs.A, r1cs.B, r1cs.C))
+    return [
+        (a1 * b2 + a2 * b1 - u1 * c2 - u2 * c1) % p
+        for a1, b1, c1, a2, b2, c2 in zip(az1, bz1, cz1, az2, bz2, cz2)
+    ]
+
+
+def _absorb_blind(tr: _Transcript, u_r: int, x_r, com_w_r, com_e_r, com_t):
+    tr.absorb_int(u_r)
+    for v in x_r:
+        tr.absorb_int(v)
+    tr.absorb_point(com_w_r)
+    tr.absorb_point(com_e_r)
+    tr.absorb_point(com_t)
+
+
+def compress(r1cs: R1CS, params: NovaParams, proof: NovaProof) -> CompressedNovaProof:
+    """ZK finalization (the reference's CompressedSNARK API surface,
+    zokrates_bellperson/src/nova.rs:124-143): fold the accumulator with a
+    uniformly random satisfying relaxed pair, then open the blinded fold.
+    See CompressedNovaProof for the honest divergence notes."""
+    import secrets
+
+    curve = r1cs.curve
+    p = P.SCALAR_FIELDS[curve].p
+    tr, acc_U = _replay_fold(r1cs, params, proof)
+    acc_W = RelaxedWitness(W=list(proof.final_W), E=list(proof.final_E))
+
+    # random satisfying relaxed pair: E_r := Az_r∘Bz_r - u_r·Cz_r
+    W_r = [secrets.randbelow(p) for _ in range(r1cs.num_witness)]
+    x_r = [secrets.randbelow(p) for _ in range(r1cs.num_instance - 1)]
+    u_r = secrets.randbelow(p - 1) + 1
+    z_r = _zvec(u_r, x_r, W_r)
+    az, bz, cz = (_mat_vec(m, z_r, p) for m in (r1cs.A, r1cs.B, r1cs.C))
+    E_r = [(a * b - u_r * c) % p for a, b, c in zip(az, bz, cz)]
+    com_w_r = _commit(curve, params.ck_w, W_r)
+    com_e_r = _commit(curve, params.ck_e, E_r)
+
+    z1 = _zvec(acc_U.u, acc_U.x, acc_W.W)
+    T = _cross_term_relaxed(r1cs, z1, acc_U.u, z_r, u_r, p)
+    com_t = _commit(curve, params.ck_e, T)
+
+    _absorb_blind(tr, u_r, x_r, com_w_r, com_e_r, com_t)
+    r = tr.squeeze(p)
+
+    W_f = [(a + r * b) % p for a, b in zip(acc_W.W, W_r)]
+    E_f = [
+        (e + r * t + r * r * er) % p
+        for e, t, er in zip(acc_W.E, T, E_r)
+    ]
+
+    def xy(pt: PointG1) -> Tuple[int, int]:
+        return (pt.x, pt.y) if pt.x is not None else (0, 0)
+
+    return CompressedNovaProof(
+        curve=curve,
+        num_steps=proof.num_steps,
+        z0=list(proof.z0),
+        zN=list(proof.zN),
+        steps=list(proof.steps),
+        blind=BlindRecord(
+            u=u_r, x=x_r, com_w=xy(com_w_r), com_e=xy(com_e_r), com_t=xy(com_t)
+        ),
+        W_f=W_f,
+        E_f=E_f,
+    )
+
+
+def verify_compressed(
+    r1cs: R1CS, params: NovaParams, proof: CompressedNovaProof
+) -> bool:
+    curve = r1cs.curve
+    p = P.SCALAR_FIELDS[curve].p
+    ni = r1cs.num_instance
+    if proof.num_steps != len(proof.steps) or proof.num_steps < 1:
+        return False
+
+    # replay the step chain exactly like verify()
+    acc_U, _ = _trivial(curve, ni, r1cs.num_witness, r1cs.num_constraints)
+    tr = _start_transcript(params, [v % p for v in proof.z0], p)
+    z_i = [v % p for v in proof.z0]
+    try:
+        for rec in proof.steps:
+            if len(rec.x) != ni - 1:
+                return False
+            if [rec.x[i] for i in params.arg_pos] != z_i:
+                return False
+            com_w2 = _pt(curve, rec.com_w)
+            com_t = _pt(curve, rec.com_t)
+            _absorb_step(tr, rec.x, com_w2, com_t)
+            acc_U = _fold_instance(acc_U, rec.x, com_w2, com_t, tr.squeeze(p), p)
+            z_i = [rec.x[i] for i in params.out_pos]
+        if z_i != [v % p for v in proof.zN]:
+            return False
+
+        b = proof.blind
+        com_w_r = _pt(curve, b.com_w)
+        com_e_r = _pt(curve, b.com_e)
+        com_t = _pt(curve, b.com_t)
+    except NovaError:
+        return False
+    _absorb_blind(tr, b.u % p, b.x, com_w_r, com_e_r, com_t)
+    r = tr.squeeze(p)
+
+    u_f = (acc_U.u + r * b.u) % p
+    x_f = [(a + r * v) % p for a, v in zip(acc_U.x, b.x)]
+    com_w_f = acc_U.com_w + com_w_r * r
+    com_e_f = acc_U.com_e + com_t * r + com_e_r * (r * r % p)
+
+    com_w = _commit(curve, params.ck_w, proof.W_f)
+    com_e = _commit(curve, params.ck_e, proof.E_f)
+    if (com_w.x, com_w.y) != (com_w_f.x, com_w_f.y):
+        return False
+    if (com_e.x, com_e.y) != (com_e_f.x, com_e_f.y):
+        return False
+
+    z = _zvec(u_f, x_f, proof.W_f)
+    az, bz, cz = (_mat_vec(m, z, p) for m in (r1cs.A, r1cs.B, r1cs.C))
+    return all(
+        a * bb % p == (u_f * c + e) % p
+        for a, bb, c, e in zip(az, bz, cz, proof.E_f)
     )

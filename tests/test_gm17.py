@@ -40,3 +40,14 @@ class TestGM17:
         assert not gm17.verify(vk, proof)
         proof.points["a"] = a
         assert gm17.verify(vk, proof)
+
+
+def test_gm17_solidity_export():
+    prog = cube_prog()
+    r1cs = r1cs_from_prog(prog)
+    pk, vk = gm17.setup(r1cs)
+    from zokrates_tpu.schemes.solidity import export_solidity_verifier
+
+    sol = export_solidity_verifier(vk)
+    assert "ecTwistAdd" in sol  # G2 addition library (no EVM precompile)
+    assert "h_gamma" in sol and "pairingProd4" in sol and "verifyTx" in sol

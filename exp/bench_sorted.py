@@ -8,6 +8,8 @@ import os, sys, time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache_tpu")
 sys.path.insert(0, "/root/repo")
+from zokrates_tpu.tpu_env import ensure_tpu_flags
+ensure_tpu_flags()
 
 import jax
 import jax.numpy as jnp

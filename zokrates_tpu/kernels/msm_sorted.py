@@ -77,12 +77,13 @@ class MSMConfig:
 def default_config(n: int, interpret: bool = False) -> MSMConfig:
     if interpret or n <= (1 << 12):
         return MSMConfig(c=8, M1=32, R=2, lw2=8, interpret=interpret)
-    # lw2=512 keeps the merge/suffix walks at 8192 lanes (S=64 sublane
-    # rows — the measured-fastest layout, exp/m12_3d.py) and enables the
-    # in-kernel suffix fold (lw2 % 128 == 0)
-    if n <= (1 << 15):
-        return MSMConfig(c=16, M1=1024, R=4, lw2=512, interpret=False)
-    return MSMConfig(c=16, M1=8192, R=4, lw2=512, interpret=False)
+    # Measured end-to-end at 2^18 (exp/m13_stages.py, BENCH notes):
+    # lw2=64/M1=1024 beats both the lw2=128 and the 8192-lane
+    # (lw2=512/M1=8192) variants at every stage — the bigger VMEM blocks
+    # lose more to DMA serialization than the wider sublane layout gains.
+    # The XLA window epilogue runs with ZOKRATES_TPU_UNROLL=16
+    # (tpu_env.ensure_tpu_flags), which collapses its While-loop overhead.
+    return MSMConfig(c=16, M1=1024, R=4, lw2=64, interpret=False)
 
 
 def _windows(r_mod: int, c: int) -> int:

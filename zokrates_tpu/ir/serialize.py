@@ -91,12 +91,15 @@ def _solver_to_cbor(s: Solver):
     if s.name == "SnarkVerifyBls12377":
         return {"SnarkVerifyBls12377": s.arg}
     if s.name == "Zir":
-        import pickle
+        from ..lang.ast_codec import encode as ast_encode
 
         spec = getattr(s.arg, "spec", None)
         if spec is None:
             raise SerializationError("Zir solver is not serializable (no spec)")
-        return {"Zir": pickle.dumps(spec)}
+        # CBOR-encoded expression AST + types (the reference CBOR-encodes a
+        # ZIR function here, solver_indexer.rs; round 1 pickled — unsafe and
+        # self-interop-only)
+        return {"Zir": ast_encode(spec)}
     return s.name
 
 
@@ -233,11 +236,15 @@ def _cbor_to_solver(d) -> Solver:
         if name == "SnarkVerifyBls12377":
             return Solver("SnarkVerifyBls12377", val)
         if name == "Zir":
-            import pickle
-
+            from ..lang.ast_codec import decode as ast_decode
             from ..lang.evaluator import make_zir_solver
 
-            return Solver("Zir", make_zir_solver(pickle.loads(val)))
+            if isinstance(val, (bytes, bytearray)):
+                raise SerializationError(
+                    "legacy pickled Zir solver encoding is no longer read; "
+                    "recompile the program"
+                )
+            return Solver("Zir", make_zir_solver(ast_decode(val)))
         return Solver(name, val)
     raise SerializationError(f"bad solver {d!r}")
 

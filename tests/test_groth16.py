@@ -152,6 +152,43 @@ class TestGroth16:
         assert [fr_from_json(x, "bn128") for x in proof.inputs] == [6, 42]
         assert groth16.verify(vk, proof)
 
+    def test_prove_batch(self):
+        """Multi-proof batch axis: B witnesses through one vmapped pipeline;
+        every proof verifies, wrong inputs still reject."""
+        prog = cube_prog()
+        r1cs = r1cs_from_prog(prog)
+        pk, vk = groth16.setup(r1cs)
+        xs = [2, 3, 11]
+        ws = [Interpreter().execute(prog, [x]) for x in xs]
+        proofs = groth16.prove_batch(r1cs, pk, ws)
+        assert len(proofs) == 3
+        from zokrates_tpu.schemes.types import fr_from_json, fr_to_json
+
+        for x, proof in zip(xs, proofs):
+            assert fr_from_json(proof.inputs[0], "bn128") == x**3 + x + 5
+            assert groth16.verify(vk, proof)
+        # a batch proof is a normal proof: cross-tampering rejects
+        proofs[0].inputs[0] = fr_to_json(999, "bn128")
+        assert not groth16.verify(vk, proofs[0])
+
+    def test_prove_batch_matches_prove(self):
+        """With a deterministic rng the batched prover emits byte-identical
+        proofs to the sequential one."""
+        prog = mul_pub_prog()
+        r1cs = r1cs_from_prog(prog)
+        pk, vk = groth16.setup(r1cs)
+        ws = [Interpreter().execute(prog, [a, b]) for a, b in [(2, 9), (5, 5)]]
+
+        def fixed_rng():
+            return 1234567
+
+        seq = [groth16.prove(r1cs, pk, w, rng=fixed_rng) for w in ws]
+        bat = groth16.prove_batch(r1cs, pk, ws, rng=fixed_rng)
+        for pa, pb in zip(seq, bat):
+            assert pa.points == pb.points
+            assert pa.inputs == pb.inputs
+            assert groth16.verify(vk, pb)
+
     def test_proof_json_roundtrip(self):
         import json
 

@@ -499,6 +499,7 @@ def _coo_args(dev: R1CSDevice):
 
 
 _H_JIT: Dict = {}
+_H_RAW: Dict = {}
 
 
 def _h_stage(curve: str, n: int):
@@ -545,6 +546,7 @@ def _h_stage(curve: str, n: int):
         return f.from_mont_(h)
 
     fn = jax.jit(pipeline)
+    _H_RAW[key] = pipeline
     _H_JIT[key] = fn
     return fn
 
@@ -685,6 +687,167 @@ def prove(r1cs: R1CS, pk: ProvingKey, witness: Witness, rng=None) -> Proof:
         },
         inputs,
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-proof batch axis (SURVEY §2.5 row 4)
+# ---------------------------------------------------------------------------
+
+_H_BATCH_JIT: Dict = {}
+_MSM_BATCH_JIT: Dict = {}
+
+
+def _h_stage_batch(curve: str, n: int):
+    """vmapped h pipeline: (B, m, nl) witness batch -> (B, n, nl) h coeffs.
+
+    The batch axis is a real device axis (jax.vmap over the same pipeline
+    _h_stage jits), so B proofs share one XLA dispatch per stage — the
+    TPU-native answer to the reference's per-proof rayon loop."""
+    key = (curve, n)
+    fn = _H_BATCH_JIT.get(key)
+    if fn is not None:
+        return fn
+    _h_stage(curve, n)  # populate _H_RAW
+    inner = _H_RAW[(curve, n)]
+    fn = jax.jit(jax.vmap(inner, in_axes=(None,) * 9 + (0,)))
+    _H_BATCH_JIT[key] = fn
+    return fn
+
+
+def _msm_batch(ops, c: int):
+    """Batched MSM: fixed points, (B, N, nl) scalars -> (B,) Jacobian points.
+
+    vmap over the scalar axis only — bucket scatters and window folds batch
+    on device; the point stream (the HBM-heavy operand) is read once per
+    window for all B proofs."""
+    from functools import partial as _partial
+
+    from ..kernels.msm import msm
+
+    key = (ops.key, c)
+    fn = _MSM_BATCH_JIT.get(key)
+    if fn is None:
+        fn = jax.jit(jax.vmap(_partial(msm, ops, c=c), in_axes=(None, None, 0)))
+        _MSM_BATCH_JIT[key] = fn
+    return fn
+
+
+def prove_batch(
+    r1cs: R1CS, pk: ProvingKey, witnesses: Sequence[Witness], rng=None
+) -> List[Proof]:
+    """Prove B witnesses of one circuit in a single batched device pipeline.
+
+    Equivalent to [prove(r1cs, pk, w) for w in witnesses] (each proof has
+    fresh r/s randomizers and verifies independently) but all matvecs,
+    NTTs and MSMs carry a leading batch axis — amortizing point-stream
+    reads and kernel dispatches across proofs (BASELINE config 5, the
+    batch-proving workload the reference covers one-at-a-time via
+    zokrates_ark/src/groth16.rs:21-52)."""
+    curve = r1cs.curve
+    p = P.SCALAR_FIELDS[curve].p
+    rand = rng or (lambda: secrets.randbelow(p))
+
+    n = pk.domain_size
+    ni = pk.num_instance
+    nls = n_limbs(p)
+    B = len(witnesses)
+    if B == 0:
+        return []
+
+    zs = [[v % p for v in r1cs.full_assignment(w)] for w in witnesses]
+    m = len(zs[0])
+    Z = jnp.asarray(
+        np.stack([np.asarray(ints_to_limbs(z, nls)) for z in zs])
+    )  # (B, m, nl)
+
+    dev = _r1cs_device(r1cs, n)
+    H = _h_stage_batch(curve, n)(*_coo_args(dev), Z)[:, : n - 1]  # (B, n-1, nl)
+
+    d = pk.dev()
+    tier_m = _msm_tier(m)
+    tier_h = _msm_tier(n - 1)
+    tier_l = _msm_tier(max(1, m - ni))
+    for key, src, tier in (
+        ("a_pad", pk.a_p128, tier_m),
+        ("b1_pad", pk.b1_p128, tier_m),
+        ("h_pad", pk.h_p128, tier_h),
+        ("l_pad", pk.l_p128, tier_l),
+        ("b2x_pad", pk.b2_x, tier_m),
+        ("b2y_pad", pk.b2_y, tier_m),
+    ):
+        if key not in d:
+            d[key] = jnp.asarray(_pad_rows(src, tier))
+
+    def batch_scalars(S, mask, tier):
+        # (B, k, nl) -> masked + padded to (B, tier, nl)
+        k = S.shape[1]
+        if mask is not None:
+            S = jnp.where(jnp.asarray(mask)[None, :k, None], S, 0)
+        if k < tier:
+            S = jnp.pad(S, ((0, 0), (0, tier - k), (0, 0)))
+        return S
+
+    g1ops = curve_ops(g1_group(curve).q)
+    nl = g1ops.f.nl
+    c = _auto_c(tier_m)
+
+    def g1_batch(P128, S):
+        X, Y, Zc = _msm_batch(g1ops, c)(P128[:, :nl], P128[:, nl : 2 * nl], S)
+        return g1ops.to_affine_ints((X, Y, Zc))
+
+    a_aff = g1_batch(d["a_pad"], batch_scalars(Z, d["a_mask"], tier_m))
+    b1_aff = g1_batch(d["b1_pad"], batch_scalars(Z, d["b1_mask"], tier_m))
+    l_aff = g1_batch(d["l_pad"], batch_scalars(Z[:, ni:], d["l_mask"], tier_l))
+    h_aff = g1_batch(d["h_pad"], batch_scalars(H, None, tier_h))
+
+    g2ops = curve_ops_g2(curve)
+    X2, Y2, Z2 = _msm_batch(g2ops, _auto_c(tier_m))(
+        d["b2x_pad"], d["b2y_pad"], batch_scalars(Z, d["b2_mask"], tier_m)
+    )
+    b2_aff = g2ops.to_affine_ints((X2, Y2, Z2))
+
+    g1grp = g1_group(curve)
+    g2grp = g2_group(curve)
+
+    def to_g1(aff):
+        return g1grp.zero() if aff is None else PointG1(g1grp, aff[0], aff[1])
+
+    def to_g2(aff):
+        if aff is None:
+            return g2grp.zero()
+        from ..ec.tower import Fq2
+
+        return PointG2(
+            g2grp,
+            Fq2(g2grp.tower, aff[0][0], aff[0][1]),
+            Fq2(g2grp.tower, aff[1][0], aff[1][1]),
+        )
+
+    proofs: List[Proof] = []
+    for b in range(B):
+        r, s = rand(), rand()
+        a_acc, b1_acc = to_g1(a_aff[b]), to_g1(b1_aff[b])
+        l_acc, h_acc = to_g1(l_aff[b]), to_g1(h_aff[b])
+        b2_acc = to_g2(b2_aff[b])
+        delta_g1 = pk.delta_g1
+        A = pk.alpha_g1 + a_acc + delta_g1 * r
+        B1 = pk.beta_g1 + b1_acc + delta_g1 * s
+        B2 = pk.beta_g2 + b2_acc + pk.delta_g2 * s
+        C = l_acc + h_acc + A * s + B1 * r - delta_g1 * (r * s % p)
+        inputs = [fr_to_json(zs[b][i], curve) for i in range(1, ni)]
+        proofs.append(
+            Proof(
+                "g16",
+                curve,
+                {
+                    "a": g1_to_json(A, curve),
+                    "b": g2_to_json(B2, curve),
+                    "c": g1_to_json(C, curve),
+                },
+                inputs,
+            )
+        )
+    return proofs
 
 
 def verify(vk: VerificationKey, proof: Proof) -> bool:

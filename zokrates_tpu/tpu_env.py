@@ -16,9 +16,25 @@ import os
 _FLAG = "--xla_tpu_scoped_vmem_limit_kib=98304"
 
 
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache_tpu")
+
+
 def ensure_tpu_flags() -> None:
     # xla_tpu_* are libtpu flags, not host XLA_FLAGS
     args = os.environ.get("LIBTPU_INIT_ARGS", "")
     if "xla_tpu_scoped_vmem_limit_kib" not in args:
         os.environ["LIBTPU_INIT_ARGS"] = (args + " " + _FLAG).strip()
     os.environ.setdefault("ZOKRATES_TPU_UNROLL", "16")
+
+    # Persistent compilation cache: prover executables (fixed-base setup,
+    # h-stage, Mosaic MSM) take minutes of XLA/Mosaic compile on first use;
+    # cache them across processes. The env var alone is not reliably picked
+    # up by the axon PJRT plugin — set jax.config explicitly.
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", _CACHE_DIR)
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass

@@ -637,24 +637,44 @@ def _msm_device(p, W, N, cfg: MSMConfig, P128, scalars, safe: bool):
     rec_buck = jnp.where(vtaken, jnp.take_along_axis(sb, gpos, axis=1), 0)
 
     l1 = _walk_call(p, R, M1, K1 // R, "mixed", safe, cfg.interpret)
-    rec_list = []
-    coll_any = jnp.zeros((), jnp.uint32)
-    for w in range(W):
-        pidx = (sidx[w] & np.uint32(0x7FFFFFFF)).astype(jnp.int32)
-        sign = sidx[w] >> np.uint32(31)
+
+    # One walk executable scanned over the window axis. An inline Python
+    # loop here splats W copies of the gather + walk into the traced
+    # graph, which blows XLA/Mosaic compile time to tens of minutes on
+    # the TPU tunnel (and times out XLA:CPU); scan traces the body once.
+    def _window_body(coll, per_w):
+        sidx_w, flags_w, gpos_w = per_w
+        pidx = (sidx_w & np.uint32(0x7FFFFFFF)).astype(jnp.int32)
+        sign = sidx_w >> np.uint32(31)
         rows = jnp.take(P128, pidx, axis=0)  # (N, 128)
         x = rows[:, :nl]
         y = rows[:, nl : 2 * nl]
         ny = rows[:, 2 * nl : 3 * nl]
         ysel = jnp.where((sign == 1)[:, None], ny, y)
         walk_in = _to_walk(jnp.concatenate([x, ysel], axis=1), M1, K1)
-        flags_walk = _flags_to_walk(flags2d[w], M1, K1, R)
-        O1, coll = l1(walk_in, flags_walk)
-        coll_any = jnp.maximum(coll_any, jnp.max(coll))
+        flags_walk = _flags_to_walk(flags_w, M1, K1, R)
+        O1, coll_w = l1(walk_in, flags_walk)
         O1T = _from_walk(O1)
-        rrows = (gpos[w] % K1) * M1 + gpos[w] // K1
-        rec_list.append(jnp.take(O1T, rrows, axis=0))
-    recs = jnp.concatenate(rec_list, axis=0)  # (W*cap1, 3nl)
+        rrows = (gpos_w % K1) * M1 + gpos_w // K1
+        recs_w = jnp.take(O1T, rrows, axis=0)
+        return jnp.maximum(coll, jnp.max(coll_w)), recs_w
+
+    if cfg.interpret:
+        # eager interpret mode (CPU tests): lax.scan would trace+compile
+        # its body — the exact cost eager mode exists to avoid
+        coll_any = jnp.zeros((), jnp.uint32)
+        rec_list = []
+        for w in range(W):
+            coll_any, recs_w = _window_body(
+                coll_any, (sidx[w], flags2d[w], gpos[w])
+            )
+            rec_list.append(recs_w)
+        recs = jnp.concatenate(rec_list, axis=0)
+    else:
+        coll_any, recs_sc = jax.lax.scan(
+            _window_body, jnp.zeros((), jnp.uint32), (sidx, flags2d, gpos)
+        )
+        recs = recs_sc.reshape(W * cap1, 3 * nl)
 
     recs, rbuck = _merge_level(
         p, recs, rec_buck.reshape(-1), W, cap1, cap2, lw2, R, cfg.interpret

@@ -57,8 +57,18 @@ def main():
     )
 
     t0 = time.perf_counter()
-    pk, vk = groth16.setup(r1cs)
-    print(f"setup: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    import pickle
+
+    pk_cache = os.path.join(ART, "sha256.g16.keys")  # gitignored, rebuilt if absent
+    if os.path.exists(pk_cache):
+        with open(pk_cache, "rb") as f:
+            pk, vk = pickle.load(f)
+        print(f"setup (cached): {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    else:
+        pk, vk = groth16.setup(r1cs)
+        with open(pk_cache, "wb") as f:
+            pickle.dump((pk, vk), f)
+        print(f"setup: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     t0 = time.perf_counter()
     proof = groth16.prove(r1cs, pk, witness)

@@ -108,3 +108,47 @@ def test_windows_counts():
     assert _windows(SCALAR_FIELDS["bn128"].p, 16) == 16
     assert _windows(SCALAR_FIELDS["bls12_381"].p, 16) == 16
     assert _windows(SCALAR_FIELDS["bw6_761"].p, 16) == 24
+
+
+def test_msm_sorted_g2():
+    """Fq2 walk kernels (pallas_field._F2) against the host tower oracle.
+
+    G2 rows pack each Fq2 coordinate as [c0|c1] limbs; the same walk /
+    merge machinery runs with nl doubled, and the interpret path reduces
+    through the beta-aware XLA suffix epilogue."""
+    from zokrates_tpu.ec.curve import g2_group
+    from zokrates_tpu.ec.tower import Fq2
+    from zokrates_tpu.fields.jfield2 import field_ops2
+    from zokrates_tpu.kernels.msm_sorted import msm_sorted_host, pack_points_g2
+
+    grp = g2_group("bn128")
+    n = 64
+    rng = np.random.default_rng(3)
+    g = grp.generator()
+    pts, acc = [], g
+    step = g * 7
+    for _ in range(n):
+        pts.append(acc)
+        acc = acc + step
+    scalars = [int(rng.integers(0, 1 << 62)) for _ in range(n)]
+    f2 = field_ops2(grp.q, grp.tower.beta)
+    X = f2.encode([(p.x.c0, p.x.c1) for p in pts])
+    Y = f2.encode([(p.y.c0, p.y.c1) for p in pts])
+    nls = n_limbs(grp.r)
+    S = jnp.asarray(ints_to_limbs([s % grp.r for s in scalars], nls))
+    P128 = pack_points_g2(grp.q, X, Y)
+    cfg = MSMConfig(c=8, M1=32, R=2, lw2=8, interpret=True)
+    beta = grp.tower.beta - grp.q
+    jx, jy, jz = msm_sorted_host(
+        grp.q, grp.r, P128, S, cfg, max_bits=62, beta=beta
+    )
+    exp = grp.zero()
+    for pt, s in zip(pts, scalars):
+        exp = exp + pt * s
+    zf = Fq2(grp.tower, jz[0], jz[1])
+    zi = zf.inv()
+    zi2 = zi * zi
+    xf = Fq2(grp.tower, jx[0], jx[1]) * zi2
+    yf = Fq2(grp.tower, jy[0], jy[1]) * zi2 * zi
+    assert (xf.c0, xf.c1) == (exp.x.c0, exp.x.c1)
+    assert (yf.c0, yf.c1) == (exp.y.c0, exp.y.c1)

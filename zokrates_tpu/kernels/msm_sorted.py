@@ -46,7 +46,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..fields.jfield import field_spec
 from ..fields.limbs import LIMB_BITS, ints_to_limbs, n_limbs
-from .pallas_field import _F, _general_add, _join, _mixed_add_inline, _split
+from .pallas_field import _F, _general_add, _join, _mixed_add_inline, _split, field_for
 
 
 # ---------------------------------------------------------------------------
@@ -77,13 +77,16 @@ class MSMConfig:
 def default_config(n: int, interpret: bool = False) -> MSMConfig:
     if interpret or n <= (1 << 12):
         return MSMConfig(c=8, M1=32, R=2, lw2=8, interpret=interpret)
-    # Measured end-to-end at 2^18 (exp/m13_stages.py, BENCH notes):
-    # lw2=64/M1=1024 beats both the lw2=128 and the 8192-lane
-    # (lw2=512/M1=8192) variants at every stage — the bigger VMEM blocks
-    # lose more to DMA serialization than the wider sublane layout gains.
-    # The XLA window epilogue runs with ZOKRATES_TPU_UNROLL=16
-    # (tpu_env.ensure_tpu_flags), which collapses its While-loop overhead.
-    return MSMConfig(c=16, M1=1024, R=4, lw2=64, interpret=False)
+    # lw2=128 keeps the whole suffix epilogue in-kernel (fold=True); the
+    # lw2=64 XLA epilogue costs ~20 extra EC-add programs of compile and
+    # hundreds of ms of While-loop dispatch per call (round-3 timings).
+    # c=16 halves the walk adds but costs a 2^15-bucket dense table
+    # (~200 ms of fixed sort/scatter/suffix work per MSM) — only worth it
+    # once the walk itself dominates, i.e. n >= ~2^18. Below that c=8
+    # keeps the bucket table (2^7) and merge caps tiny.
+    if n <= (1 << 17):
+        return MSMConfig(c=8, M1=1024, R=4, lw2=128, interpret=False)
+    return MSMConfig(c=16, M1=1024, R=4, lw2=128, interpret=False)
 
 
 def _windows(r_mod: int, c: int) -> int:
@@ -134,7 +137,8 @@ def _double_inline(F, P):
 
 
 def walk_kernel_factory(
-    p: int, R: int, M: int, T: int, mode: str, safe: bool, compact: bool = False
+    p: int, R: int, M: int, T: int, mode: str, safe: bool, compact: bool = False,
+    beta=None,
 ):
     """Chunked segmented-accumulation walk.
 
@@ -152,7 +156,7 @@ def walk_kernel_factory(
 
     Lane id m == s * 128 + l throughout.
     """
-    F = _F(p, compact=compact)
+    F = field_for(p, beta, compact=compact)
     nl = F.nl
     tail = _tail_of(M)
     mixed = mode == "mixed"
@@ -214,13 +218,13 @@ def walk_kernel_factory(
 
 
 @functools.lru_cache(maxsize=None)
-def _walk_call(p: int, R: int, M: int, T: int, mode: str, safe: bool, interpret: bool):
-    nl = field_spec(p).nl
+def _walk_call(p: int, R: int, M: int, T: int, mode: str, safe: bool, interpret: bool, beta=None):
+    nl = field_spec(p).nl if beta is None else 2 * field_spec(p).nl
     in_rows = 2 * nl if mode == "mixed" else 3 * nl
     tail = _tail_of(M)
     nt = len(tail)
     zt = (0,) * nt
-    kernel = walk_kernel_factory(p, R, M, T, mode, safe, compact=interpret)
+    kernel = walk_kernel_factory(p, R, M, T, mode, safe, compact=interpret, beta=beta)
     return pl.pallas_call(
         kernel,
         grid=(T,),
@@ -249,7 +253,8 @@ def _walk_call(p: int, R: int, M: int, T: int, mode: str, safe: bool, interpret:
 
 
 def suffix_kernel_factory(
-    p: int, L: int, lw: int, M: int, compact: bool = False, fold: bool = False
+    p: int, L: int, lw: int, M: int, compact: bool = False, fold: bool = False,
+    beta=None,
 ):
     """Chunked suffix accumulation over the 2-slot dense bucket tables.
 
@@ -267,7 +272,7 @@ def suffix_kernel_factory(
     the multiplier ladder AND the per-window cross-lane tree reduction
     in-kernel (~500 extra field muls, single-digit ms); output (3nl, M)
     with window w's Jacobian total at [:, w*(lw//128), 0]."""
-    F = _F(p, compact=compact)
+    F = field_for(p, beta, compact=compact)
     nl = F.nl
     tail = _tail_of(M)
     if fold:
@@ -412,12 +417,12 @@ def suffix_kernel_factory(
 
 
 @functools.lru_cache(maxsize=None)
-def _suffix_call(p: int, L: int, lw: int, M: int, interpret: bool, fold: bool = False):
-    nl = field_spec(p).nl
+def _suffix_call(p: int, L: int, lw: int, M: int, interpret: bool, fold: bool = False, beta=None):
+    nl = field_spec(p).nl if beta is None else 2 * field_spec(p).nl
     tail = _tail_of(M)
     zt = (0,) * len(tail)
     out_rows = 3 * nl if fold else 6 * nl
-    kernel = suffix_kernel_factory(p, L, lw, M, compact=interpret, fold=fold)
+    kernel = suffix_kernel_factory(p, L, lw, M, compact=interpret, fold=fold, beta=beta)
     return pl.pallas_call(
         kernel,
         grid=(L,),
@@ -438,20 +443,28 @@ def _suffix_call(p: int, L: int, lw: int, M: int, interpret: bool, fold: bool = 
     )
 
 
-def _suffix_post(p: int, W: int, lw: int, L: int, out6):
+def _suffix_post(p: int, W: int, lw: int, L: int, out6, beta=None):
     """XLA epilogue: per-lane weighted combine (tot + base*acc with the
     static per-lane multiplier base = (lw-1-(lane%lw))*L) followed by the
     lw-lane tree reduction per window. Returns Jacobian (W, nl) arrays in
-    the jec lane-minor layout."""
-    from .jec import curve_ops
+    the jec lane-minor layout (an extra (..., 2, nl) coordinate layout
+    for Fq2 when beta is given)."""
+    from .jec import CurveOps, curve_ops
 
-    ops = curve_ops(p)
-    nl = ops.f.nl
+    if beta is None:
+        ops = curve_ops(p)
+    else:
+        from ..fields.jfield2 import field_ops2
+
+        ops = CurveOps(field_ops2(p, beta % p), ("post2", p, beta))
+    nlb = field_spec(p).nl
+    nl = nlb if beta is None else 2 * nlb
     out6 = out6.reshape(6 * nl, -1)  # flatten (S, 128) tail -> M lanes
     M = out6.shape[1]
 
-    def lanes(rows):  # (nl, M) limb-major -> (M, nl)
-        return rows.T
+    def lanes(rows):  # (nl, M) limb-major -> (M, nl) / (M, 2, nl) for Fq2
+        t = rows.T
+        return t if beta is None else t.reshape(M, 2, nlb)
 
     acc = (lanes(out6[0:nl]), lanes(out6[nl : 2 * nl]), lanes(out6[2 * nl : 3 * nl]))
     tot = (
@@ -470,13 +483,15 @@ def _suffix_post(p: int, W: int, lw: int, L: int, out6):
             tmp = ops.double(tmp)
     lane_sum = ops.add(tot, res)
     # tree-reduce lw lanes per window
-    P = tuple(a.reshape(W, lw, nl) for a in lane_sum)
+    csh = (nl,) if beta is None else (2, nlb)
+    P = tuple(a.reshape((W, lw) + csh) for a in lane_sum)
     s = lw
     while s > 1:
         s //= 2
         left = tuple(a[:, :s] for a in P)
         right = tuple(a[:, s : 2 * s] for a in P)
         P = ops.add(left, right)
+    # flatten back to the kernel row layout (W, nl_eff)
     return tuple(a.reshape(W, nl) for a in P)
 
 
@@ -592,16 +607,16 @@ def _flags_to_walk(flags_row: jnp.ndarray, M: int, K: int, R: int):
     return a.reshape((K // R, R) + tail)
 
 
-def _merge_level(p, recs, rbuck, W, cap_in, cap_out, lw2, R, interpret):
+def _merge_level(p, recs, rbuck, W, cap_in, cap_out, lw2, R, interpret, beta=None):
     """One record-merge walk level: (W*cap_in, 3nl) rows sorted by bucket
     per window (bucket 0 = pad) -> (W*cap_out, 3nl) rows, new buckets."""
-    nl = field_spec(p).nl
+    nl = field_spec(p).nl if beta is None else 2 * field_spec(p).nl
     M2 = W * lw2
     K2 = cap_in // lw2
     walk_in = _to_walk(recs, M2, K2)
     flags2d, valid = _walk_flags(rbuck.reshape(1, W * cap_in), K2)
     flags_walk = _flags_to_walk(flags2d[0], M2, K2, R)
-    call = _walk_call(p, R, M2, K2 // R, "general", True, interpret)
+    call = _walk_call(p, R, M2, K2 // R, "general", True, interpret, beta)
     O, _ = call(walk_in, flags_walk)
     OT = _from_walk(O)
     # positions in per-window record space
@@ -617,10 +632,10 @@ def _merge_level(p, recs, rbuck, W, cap_in, cap_out, lw2, R, interpret):
     return new_recs, new_buck.reshape(-1)
 
 
-def _msm_device(p, W, N, cfg: MSMConfig, P128, scalars, safe: bool):
+def _msm_device(p, W, N, cfg: MSMConfig, P128, scalars, safe: bool, beta=None):
     """Device part of the sorted MSM. Returns (out (3nl, M4) window sums
     with window w's Jacobian total in lane w*lw2, collision flag scalar)."""
-    nl = field_spec(p).nl
+    nl = field_spec(p).nl if beta is None else 2 * field_spec(p).nl
     sh = _plan_shapes(N, W, cfg)
     hb, K1, cap1, cap2 = sh["hb"], sh["K1"], sh["cap1"], sh["cap2"]
     M1, R, lw2 = cfg.M1, cfg.R, cfg.lw2
@@ -636,7 +651,7 @@ def _msm_device(p, W, N, cfg: MSMConfig, P128, scalars, safe: bool):
     vtaken = jnp.take_along_axis(valid, gpos, axis=1)
     rec_buck = jnp.where(vtaken, jnp.take_along_axis(sb, gpos, axis=1), 0)
 
-    l1 = _walk_call(p, R, M1, K1 // R, "mixed", safe, cfg.interpret)
+    l1 = _walk_call(p, R, M1, K1 // R, "mixed", safe, cfg.interpret, beta)
 
     # One walk executable scanned over the window axis. An inline Python
     # loop here splats W copies of the gather + walk into the traced
@@ -677,28 +692,39 @@ def _msm_device(p, W, N, cfg: MSMConfig, P128, scalars, safe: bool):
         recs = recs_sc.reshape(W * cap1, 3 * nl)
 
     recs, rbuck = _merge_level(
-        p, recs, rec_buck.reshape(-1), W, cap1, cap2, lw2, R, cfg.interpret
+        p, recs, rec_buck.reshape(-1), W, cap1, cap2, lw2, R, cfg.interpret, beta
     )
     recs, rbuck = _merge_level(
-        p, recs, rbuck, W, cap2, cap2, lw2, R, cfg.interpret
+        p, recs, rbuck, W, cap2, cap2, lw2, R, cfg.interpret, beta
     )
 
-    # slotted dense scatter: <= 2 records per bucket after two merges
+    # slotted dense table: <= 2 records per bucket after two merges.
+    # Built as a u32 *index* scatter + one row gather — scattering the
+    # (3nl,)-wide record rows directly costs ~4x more (TPU scatter runs
+    # far below HBM bandwidth; gathers don't).
     rb_w = rbuck.reshape(W, cap2)
     prev = jnp.concatenate([jnp.zeros((W, 1), jnp.uint32), rb_w[:, :-1]], axis=1)
     slot = jnp.logical_and(rb_w == prev, rb_w != 0).astype(jnp.int32)
     wi = jnp.arange(W, dtype=jnp.int32)[:, None]
     j = jnp.arange(cap2, dtype=jnp.int32)[None, :]
     dense_pos = slot * (W * hb) + wi * hb + (hb - rb_w.astype(jnp.int32))
-    dump_pos = 2 * W * hb + wi * cap2 + j
+    dump_pos = 2 * W * hb + wi * cap2 + j  # distinct OOB slots, dropped
     pos = jnp.where(rb_w != 0, dense_pos, dump_pos).reshape(-1)
-    table = jnp.zeros((2 * W * hb + W * cap2, 3 * nl), jnp.uint32)
-    table = table.at[pos].set(recs, unique_indices=True)
+    ridx = jnp.full((2 * W * hb,), W * cap2, jnp.int32)  # default: zero row
+    ridx = ridx.at[pos].set(
+        jnp.arange(W * cap2, dtype=jnp.int32), mode="drop", unique_indices=True
+    )
+    recs_pad = jnp.concatenate(
+        [recs, jnp.zeros((1, 3 * nl), jnp.uint32)], axis=0
+    )
+    table = jnp.take(recs_pad, ridx, axis=0)
 
     A = _to_walk(table[: W * hb], M4, L4)
     B = _to_walk(table[W * hb : 2 * W * hb], M4, L4)
+    # the in-kernel fold epilogue miscomputes under Pallas interpret mode
+    # (pltpu.roll emulation) — interpret tests use the XLA epilogue
     fold = lw2 % 128 == 0 and len(_tail_of(M4)) == 2 and not cfg.interpret
-    sfx = _suffix_call(p, L4, lw2, M4, cfg.interpret, fold)
+    sfx = _suffix_call(p, L4, lw2, M4, cfg.interpret, fold, beta)
     out = sfx(A, B)
     if fold:
         gs = lw2 // 128
@@ -706,18 +732,18 @@ def _msm_device(p, W, N, cfg: MSMConfig, P128, scalars, safe: bool):
         wY = out[nl : 2 * nl, ::gs, 0].T
         wZ = out[2 * nl : 3 * nl, ::gs, 0].T
     else:
-        wX, wY, wZ = _suffix_post(p, W, lw2, L4, out)
+        wX, wY, wZ = _suffix_post(p, W, lw2, L4, out, beta)
     return (wX, wY, wZ), coll_any
 
 
 _MSM_JITS = {}
 
 
-def _msm_jit(p, W, N, cfg, safe):
-    key = (p, W, N, cfg, safe)
+def _msm_jit(p, W, N, cfg, safe, beta=None):
+    key = (p, W, N, cfg, safe, beta)
     if key not in _MSM_JITS:
         _MSM_JITS[key] = jax.jit(
-            functools.partial(_msm_device, p, W, N, cfg, safe=safe)
+            functools.partial(_msm_device, p, W, N, cfg, safe=safe, beta=beta)
         )
     return _MSM_JITS[key]
 
@@ -773,6 +799,75 @@ def _host_jac_add(p, P, Q):
     return (X3, Y3, Z3)
 
 
+def _f2mul(p, beta, a, b):
+    t0 = a[0] * b[0] % p
+    t1 = a[1] * b[1] % p
+    return ((t0 + beta * t1) % p, ((a[0] + a[1]) * (b[0] + b[1]) - t0 - t1) % p)
+
+
+def _f2addn(p, *xs):
+    c0 = sum(x[0] for x in xs) % p
+    c1 = sum(x[1] for x in xs) % p
+    return (c0, c1)
+
+
+def _f2sub(p, a, b):
+    return ((a[0] - b[0]) % p, (a[1] - b[1]) % p)
+
+
+def _f2scale(p, k, a):
+    return (k * a[0] % p, k * a[1] % p)
+
+
+def _host_jac_double2(p, beta, P):
+    X1, Y1, Z1 = P
+    if Z1 == (0, 0):
+        return P
+    m = lambda a, b: _f2mul(p, beta, a, b)
+    A = m(X1, X1)
+    B = m(Y1, Y1)
+    C = m(B, B)
+    t = _f2addn(p, X1, B)
+    D = _f2scale(p, 2, _f2sub(p, _f2sub(p, m(t, t), A), C))
+    E = _f2scale(p, 3, A)
+    F = m(E, E)
+    X3 = _f2sub(p, F, _f2scale(p, 2, D))
+    Y3 = _f2sub(p, m(E, _f2sub(p, D, X3)), _f2scale(p, 8, C))
+    Z3 = _f2scale(p, 2, m(Y1, Z1))
+    return (X3, Y3, Z3)
+
+
+def _host_jac_add2(p, beta, P, Q):
+    X1, Y1, Z1 = P
+    X2, Y2, Z2 = Q
+    if Z1 == (0, 0):
+        return Q
+    if Z2 == (0, 0):
+        return P
+    m = lambda a, b: _f2mul(p, beta, a, b)
+    Z1Z1 = m(Z1, Z1)
+    Z2Z2 = m(Z2, Z2)
+    U1 = m(X1, Z2Z2)
+    U2 = m(X2, Z1Z1)
+    S1 = m(m(Y1, Z2), Z2Z2)
+    S2 = m(m(Y2, Z1), Z1Z1)
+    if U1 == U2:
+        if S1 == S2:
+            return _host_jac_double2(p, beta, P)
+        return ((1, 0), (1, 0), (0, 0))
+    H = _f2sub(p, U2, U1)
+    Rr = _f2sub(p, S2, S1)
+    H2 = _f2scale(p, 2, H)
+    I = m(H2, H2)
+    J = m(H, I)
+    R2 = _f2scale(p, 2, Rr)
+    V = m(U1, I)
+    X3 = _f2sub(p, _f2sub(p, m(R2, R2), J), _f2scale(p, 2, V))
+    Y3 = _f2sub(p, m(R2, _f2sub(p, V, X3)), _f2scale(p, 2, m(S1, J)))
+    Z3 = m(_f2sub(p, _f2sub(p, m(_f2addn(p, Z1, Z2), _f2addn(p, Z1, Z2)), Z1Z1), Z2Z2), H)
+    return (X3, Y3, Z3)
+
+
 def _limbs_to_int(row: np.ndarray) -> int:
     v = 0
     for i in range(len(row) - 1, -1, -1):
@@ -780,12 +875,14 @@ def _limbs_to_int(row: np.ndarray) -> int:
     return v
 
 
-def msm_sorted_host(p, r_mod, P128, scalars, cfg: MSMConfig | None = None, max_bits: int | None = None):
+def msm_sorted_host(p, r_mod, P128, scalars, cfg: MSMConfig | None = None, max_bits: int | None = None, beta=None):
     """Full sorted MSM: device pipeline + host window combine.
 
-    P128: (N, 128) u32 packed points [x|y|negy|pad] in Montgomery limbs.
+    P128: (N, 128) u32 packed points [x|y|negy|pad] in Montgomery limbs
+    (G2 rows pack each Fq2 coordinate as [c0 limbs | c1 limbs]).
     scalars: (N, nls) u32 canonical limbs. Returns host Jacobian ints
-    (X, Y, Z) with coordinates in canonical (non-Montgomery) form.
+    (X, Y, Z) with coordinates in canonical (non-Montgomery) form —
+    Fq2 coordinates as (c0, c1) int pairs when beta is given.
     """
     N = P128.shape[0]
     cfg = cfg or default_config(N)
@@ -795,23 +892,40 @@ def msm_sorted_host(p, r_mod, P128, scalars, cfg: MSMConfig | None = None, max_b
     if cfg.interpret:
         # eager execution: XLA:CPU compile of the full fused graph is far
         # slower than op-by-op interpretation at test sizes
-        out, coll = _msm_device(p, W, N, cfg, P128, scalars, safe=False)
+        out, coll = _msm_device(p, W, N, cfg, P128, scalars, safe=False, beta=beta)
     else:
-        out, coll = _msm_jit(p, W, N, cfg, False)(P128, scalars)
+        out, coll = _msm_jit(p, W, N, cfg, False, beta)(P128, scalars)
     coll = int(jax.device_get(coll))
     if coll:
         if cfg.interpret:
-            out, _ = _msm_device(p, W, N, cfg, P128, scalars, safe=True)
+            out, _ = _msm_device(p, W, N, cfg, P128, scalars, safe=True, beta=beta)
         else:
-            out, _ = _msm_jit(p, W, N, cfg, True)(P128, scalars)
-    return combine_windows(p, r_mod, jax.device_get(out), W, cfg)
+            out, _ = _msm_jit(p, W, N, cfg, True, beta)(P128, scalars)
+    return combine_windows(p, r_mod, jax.device_get(out), W, cfg, beta=beta)
 
 
-def combine_windows(p, r_mod, wXYZ, W: int, cfg: MSMConfig):
+def combine_windows(p, r_mod, wXYZ, W: int, cfg: MSMConfig, beta=None):
     """Window sums ((W, nl) Montgomery arrays) -> host Jacobian ints."""
     spec = field_spec(p)
     rinv = pow(spec.r, -1, p)
     wX, wY, wZ = (np.asarray(a) for a in wXYZ)
+    if beta is not None:
+        nlb = spec.nl
+
+        def dec2(row):
+            return (
+                _limbs_to_int(row[:nlb]) * rinv % p,
+                _limbs_to_int(row[nlb:]) * rinv % p,
+            )
+
+        acc = ((1, 0), (1, 0), (0, 0))
+        for w in range(W - 1, -1, -1):
+            for _ in range(cfg.c):
+                acc = _host_jac_double2(p, beta, acc)
+            acc = _host_jac_add2(
+                p, beta, acc, (dec2(wX[w]), dec2(wY[w]), dec2(wZ[w]))
+            )
+        return acc
     acc = (1, 1, 0)
     for w in range(W - 1, -1, -1):
         for _ in range(cfg.c):
@@ -834,6 +948,22 @@ def pack_points(p, X, Y):
     ny = f.neg_(Y)
     pad = jnp.zeros((N, 128 - 3 * nl), jnp.uint32)
     return jnp.concatenate([X, Y, ny, pad], axis=1)
+
+
+def pack_points_g2(p, X, Y):
+    """Device mont limb arrays (N, 2, nl) Fq2 coords -> packed (N, 128)
+    u32 rows [x.c0|x.c1|y.c0|y.c1|-y.c0|-y.c1|0-pad] (3*2nl = 96 rows)."""
+    from ..fields.jfield import field_ops
+
+    f = field_ops(p)
+    nl = f.nl
+    N = X.shape[0]
+    ny = f.neg_(Y)
+    pad = jnp.zeros((N, 128 - 6 * nl), jnp.uint32)
+    return jnp.concatenate(
+        [X.reshape(N, 2 * nl), Y.reshape(N, 2 * nl), ny.reshape(N, 2 * nl), pad],
+        axis=1,
+    )
 
 
 def pad_msm_inputs(p, X, Y, scalars, min_n: int = 1 << 12):

@@ -194,6 +194,96 @@ class _F:
         return [jnp.zeros_like(like) for _ in range(self.nl)]
 
 
+class _F2:
+    """Fq2 = Fq[u]/(u^2 - beta) helpers over lists of 2*nl rows.
+
+    Element layout: [c0 limb rows..., c1 limb rows...]. Exposes the same
+    row-list API as _F (nl / prep / mul / add / sub / neg / select /
+    is_zero / zero / one_mont), so the generic Jacobian formulas
+    (_mixed_add_inline, _general_add, _double_inline) and the whole
+    walk/suffix kernel machinery in kernels/msm_sorted.py run unchanged
+    over G2 — the TPU answer to arkworks' per-group Pippenger
+    instantiations. beta must be a small negative integer (bn254 and
+    bls12_381 use u^2 = -1, bls12_377 uses u^2 = -5), so the c0 term of
+    the Karatsuba product is t0 - |beta|*t1 via an add chain — no extra
+    Montgomery multiplication."""
+
+    def __init__(self, p: int, beta: int, compact: bool = False):
+        assert -16 <= beta < 0, f"nonresidue {beta} out of the small-int range"
+        self.base = _F(p, compact=compact)
+        self.nl = 2 * self.base.nl
+        self.beta = beta
+        self.compact = compact
+
+    def _s(self, a):
+        n = self.base.nl
+        return a[:n], a[n:]
+
+    def prep(self, lanes):
+        self.base.prep(lanes)
+
+    def _mul_small(self, x, k: int):
+        """k*x for a small positive host int k, via a double-and-add chain."""
+        F = self.base
+        acc = None
+        doubling = x
+        while k:
+            if k & 1:
+                acc = doubling if acc is None else F.add(acc, doubling)
+            k >>= 1
+            if k:
+                doubling = F.add(doubling, doubling)
+        return acc
+
+    def mul(self, a, b):
+        F = self.base
+        a0, a1 = self._s(a)
+        b0, b1 = self._s(b)
+        t0 = F.mul(a0, b0)
+        t1 = F.mul(a1, b1)
+        t2 = F.mul(F.add(a0, a1), F.add(b0, b1))
+        c1 = F.sub(F.sub(t2, t0), t1)
+        c0 = F.sub(t0, self._mul_small(t1, -self.beta))
+        return c0 + c1
+
+    def add(self, a, b):
+        F = self.base
+        a0, a1 = self._s(a)
+        b0, b1 = self._s(b)
+        return F.add(a0, b0) + F.add(a1, b1)
+
+    def sub(self, a, b):
+        F = self.base
+        a0, a1 = self._s(a)
+        b0, b1 = self._s(b)
+        return F.sub(a0, b0) + F.sub(a1, b1)
+
+    def neg(self, a):
+        F = self.base
+        a0, a1 = self._s(a)
+        return F.neg(a0) + F.neg(a1)
+
+    def select(self, cond, a, b):
+        return [jnp.where(cond, x, y) for x, y in zip(a, b)]
+
+    def is_zero(self, a):
+        z = a[0] == 0
+        for r in a[1:]:
+            z = jnp.logical_and(z, r == 0)
+        return z
+
+    def one_mont(self, like):
+        return self.base.one_mont(like) + self.base.zero(like)
+
+    def zero(self, like):
+        return [jnp.zeros_like(like) for _ in range(self.nl)]
+
+
+def field_for(p: int, beta, compact: bool = False):
+    """Row-list field helpers: base field (beta=None) or Fq2 (beta<0)."""
+    return _F(p, compact=compact) if beta is None else _F2(p, beta, compact=compact)
+
+
 def _split(ref, nl):
     """(nl, B) ref/array -> list of nl (B,)-shaped rows (kept 2D as (1,B))."""
     return [ref[i : i + 1] for i in range(nl)]

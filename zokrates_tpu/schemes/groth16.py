@@ -592,19 +592,48 @@ def _msm_packed_g1(curve: str, P128, S, mask=None) -> PointG1:
 
 def _msm_dev_g2(curve: str, Px, Py, S, mask=None) -> PointG2:
     grp = g2_group(curve)
+    from ..ec.tower import Fq2
+
     N = Px.shape[0]
     m = S.shape[0]
     if mask is not None:
         S = jnp.where(mask[:m, None], S, 0)
     if m < N:
         S = jnp.pad(S, ((0, N - m), (0, 0)))
+
+    if _msm_backend() == "sorted":
+        # Fq2 walk kernels (pallas_field._F2) — the XLA G2 Pippenger's
+        # giant fused Fq2 program faults the TPU worker at n >= ~2^15
+        # and is dispatch-bound well before that.
+        from ..kernels.msm_sorted import (
+            default_config,
+            msm_sorted_host,
+            pack_points_g2,
+        )
+
+        beta = grp.tower.beta - grp.q  # small negative representative
+        cfg = default_config(N, interpret=jax.default_backend() != "tpu")
+        need = cfg.M1 * cfg.R
+        P128 = pack_points_g2(grp.q, Px, Py)
+        if N % need:
+            full = -(-N // need) * need
+            P128 = jnp.pad(P128, ((0, full - N), (0, 0)))
+            S = jnp.pad(S, ((0, full - N), (0, 0)))
+        jx, jy, jz = msm_sorted_host(grp.q, grp.r, P128, S, cfg, beta=beta)
+        if jz == (0, 0):
+            return grp.zero()
+        zf = Fq2(grp.tower, jz[0], jz[1])
+        zi = zf.inv()
+        zi2 = zi * zi
+        xf = Fq2(grp.tower, jx[0], jx[1]) * zi2
+        yf = Fq2(grp.tower, jy[0], jy[1]) * zi2 * zi
+        return PointG2(grp, xf, yf)
+
     ops = curve_ops_g2(curve)
     res = msm_jit(ops, _auto_c(N))(Px, Py, S)
     aff = ops.to_affine_ints((res[0][None], res[1][None], res[2][None]))[0]
     if aff is None:
         return grp.zero()
-    from ..ec.tower import Fq2
-
     return PointG2(
         grp,
         Fq2(grp.tower, aff[0][0], aff[0][1]),

@@ -252,6 +252,18 @@ def _walk_call(p: int, R: int, M: int, T: int, mode: str, safe: bool, interpret:
     )
 
 
+def _suffix_sb(M: int, nl: int) -> int:
+    """Sublane-block rows per suffix grid step. The fold epilogue's Mosaic
+    stack frame scales with nl * S_blk * 128: at S_blk=32, Fq2 (nl=16)
+    needs ~18 MB — over the 16 MB scoped-vmem budget (the BENCH_r02-class
+    fault). With lw2=128 each sublane row is one full window, so blocking
+    the S axis is exact; 8 rows keeps every config under ~5 MB."""
+    tail = _tail_of(M)
+    if len(tail) != 2:
+        return 0  # legacy 1D layout: no blocking
+    return min(tail[0], 8)
+
+
 def suffix_kernel_factory(
     p: int, L: int, lw: int, M: int, compact: bool = False, fold: bool = False,
     beta=None,
@@ -271,16 +283,23 @@ def suffix_kernel_factory(
     fold=True (requires lw % 128 == 0, 3D tail): the final grid step runs
     the multiplier ladder AND the per-window cross-lane tree reduction
     in-kernel (~500 extra field muls, single-digit ms); output (3nl, M)
-    with window w's Jacobian total at [:, w*(lw//128), 0]."""
+    with window w's Jacobian total at [:, w*(lw//128), 0].
+
+    3D tails are blocked over the sublane axis (grid (S//SB, L), block
+    tail (SB, 128)) to bound the Mosaic stack frame — see _suffix_sb."""
     F = field_for(p, beta, compact=compact)
     nl = F.nl
     tail = _tail_of(M)
     if fold:
         assert len(tail) == 2 and lw % 128 == 0, (lw, tail)
+    sb = _suffix_sb(M, nl)
+    if sb:
+        assert (lw // 128) <= sb and sb % (lw // 128) == 0, (lw, sb)
+        tail = (sb, 128)
 
     def kernel(a_ref, b_ref, o_ref, accx, accy, accz, totx, toty, totz):
         F.prep(tail)
-        t = pl.program_id(0)
+        t = pl.program_id(1) if sb else pl.program_id(0)
 
         @pl.when(t == 0)
         def _():
@@ -335,10 +354,14 @@ def suffix_kernel_factory(
 
         @pl.when(t == L - 1)
         def _():
-            # per-lane multiplier base = (lw-1 - (m % lw)) * L, m = s*128+l
+            # per-lane multiplier base = (lw-1 - (m % lw)) * L with the
+            # GLOBAL lane id m = (g*SB + s)*128 + l under sublane blocking
             s_id = jax.lax.broadcasted_iota(jnp.uint32, (1,) + tail, 1)
             l_id = jax.lax.broadcasted_iota(jnp.uint32, (1,) + tail, 2)
-            m = s_id * np.uint32(128) + l_id
+            g_off = (
+                pl.program_id(0).astype(jnp.uint32) * np.uint32(sb) if sb else 0
+            )
+            m = (g_off + s_id) * np.uint32(128) + l_id
             base = (np.uint32(lw - 1) - (m % np.uint32(lw))) * np.uint32(L)
             nbits = max(1, (lw - 1) * L).bit_length()
 
@@ -420,9 +443,35 @@ def suffix_kernel_factory(
 def _suffix_call(p: int, L: int, lw: int, M: int, interpret: bool, fold: bool = False, beta=None):
     nl = field_spec(p).nl if beta is None else 2 * field_spec(p).nl
     tail = _tail_of(M)
-    zt = (0,) * len(tail)
     out_rows = 3 * nl if fold else 6 * nl
     kernel = suffix_kernel_factory(p, L, lw, M, compact=interpret, fold=fold, beta=beta)
+    sb = _suffix_sb(M, nl)
+    if sb:
+        S = tail[0]
+        blk = (sb, 128)
+        return pl.pallas_call(
+            kernel,
+            grid=(S // sb, L),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, 3 * nl) + blk,
+                    lambda g, t: (t, 0, g, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 3 * nl) + blk,
+                    lambda g, t: (t, 0, g, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (out_rows,) + blk, lambda g, t: (0, g, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((out_rows,) + tail, jnp.uint32),
+            scratch_shapes=[pltpu.VMEM((nl,) + blk, jnp.uint32)] * 6,
+            interpret=interpret,
+        )
+    zt = (0,) * len(tail)
     return pl.pallas_call(
         kernel,
         grid=(L,),

@@ -36,6 +36,7 @@ the caller reruns with the complete-formula kernel in that case.
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass
 
 import jax
@@ -770,9 +771,13 @@ def _msm_device(p, W, N, cfg: MSMConfig, P128, scalars, safe: bool, beta=None):
 
     A = _to_walk(table[: W * hb], M4, L4)
     B = _to_walk(table[W * hb : 2 * W * hb], M4, L4)
-    # the in-kernel fold epilogue miscomputes under Pallas interpret mode
-    # (pltpu.roll emulation) — interpret tests use the XLA epilogue
-    fold = lw2 % 128 == 0 and len(_tail_of(M4)) == 2 and not cfg.interpret
+    # Default: in-kernel fold epilogue on hardware, XLA epilogue under
+    # interpret mode. ZOKRATES_TPU_MSM_FOLD=0/1 forces either path (tests
+    # cross-check fold-vs-XLA on the prod layout in interpret mode).
+    fold = lw2 % 128 == 0 and len(_tail_of(M4)) == 2
+    if fold:
+        env = os.environ.get("ZOKRATES_TPU_MSM_FOLD")
+        fold = (env == "1") if env is not None else not cfg.interpret
     sfx = _suffix_call(p, L4, lw2, M4, cfg.interpret, fold, beta)
     out = sfx(A, B)
     if fold:

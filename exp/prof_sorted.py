@@ -99,5 +99,5 @@ def stageB_extract(walk_outs, gpos):
 recs = bench("B extract records", stageB_extract, walks, gpos)
 
 # full device pipeline for reference
-full = M._msm_jit(p, W, N, cfg, False)
+full = M._msm_jit(p, W, N, cfg, False, None, M._fold_override(cfg))
 out = bench("FULL pipeline", full, P128, S)

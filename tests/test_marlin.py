@@ -106,5 +106,5 @@ class TestMarlinZK:
         from zokrates_tpu.schemes.solidity import export_solidity_verifier
 
         sol = export_solidity_verifier(vk)
-        assert "MarlinVerifier" in sol and "INIT_STATE" in sol
+        assert "contract Verifier" in sol and "INIT_STATE" in sol
         assert "verifyTx" in sol

@@ -253,15 +253,18 @@ def _walk_call(p: int, R: int, M: int, T: int, mode: str, safe: bool, interpret:
     )
 
 
-def _suffix_sb(M: int, nl: int) -> int:
+def _suffix_sb(M: int, nl: int, lw: int) -> int:
     """Sublane-block rows per suffix grid step. The fold epilogue's Mosaic
     stack frame scales with nl * S_blk * 128: at S_blk=32, Fq2 (nl=16)
     needs ~18 MB — over the 16 MB scoped-vmem budget (the BENCH_r02-class
     fault). With lw2=128 each sublane row is one full window, so blocking
-    the S axis is exact; 8 rows keeps every config under ~5 MB."""
+    the S axis is exact; 8 rows keeps every config under ~5 MB. Blocking
+    requires whole windows per block: lw % 128 != 0 (small configs whose
+    windows straddle sublane rows) disables it — those tails are tiny
+    (S <= 2) and fit unblocked."""
     tail = _tail_of(M)
-    if len(tail) != 2:
-        return 0  # legacy 1D layout: no blocking
+    if len(tail) != 2 or lw % 128 != 0:
+        return 0  # legacy 1D layout / sub-row windows: no blocking
     return min(tail[0], 8)
 
 
@@ -293,7 +296,7 @@ def suffix_kernel_factory(
     tail = _tail_of(M)
     if fold:
         assert len(tail) == 2 and lw % 128 == 0, (lw, tail)
-    sb = _suffix_sb(M, nl)
+    sb = _suffix_sb(M, nl, lw)
     if sb:
         assert (lw // 128) <= sb and sb % (lw // 128) == 0, (lw, sb)
         tail = (sb, 128)
@@ -446,7 +449,7 @@ def _suffix_call(p: int, L: int, lw: int, M: int, interpret: bool, fold: bool = 
     tail = _tail_of(M)
     out_rows = 3 * nl if fold else 6 * nl
     kernel = suffix_kernel_factory(p, L, lw, M, compact=interpret, fold=fold, beta=beta)
-    sb = _suffix_sb(M, nl)
+    sb = _suffix_sb(M, nl, lw)
     if sb:
         S = tail[0]
         blk = (sb, 128)
@@ -682,7 +685,28 @@ def _merge_level(p, recs, rbuck, W, cap_in, cap_out, lw2, R, interpret, beta=Non
     return new_recs, new_buck.reshape(-1)
 
 
-def _msm_device(p, W, N, cfg: MSMConfig, P128, scalars, safe: bool, beta=None):
+def _fold_override(cfg: MSMConfig) -> bool:
+    """Resolve the suffix-epilogue choice once, host-side (never inside a
+    traced function — the jit cache key must see the resolved value).
+
+    Default: in-kernel fold on hardware, XLA epilogue under interpret
+    mode. The fold kernel's cross-lane tree merge uses pltpu.roll, whose
+    Pallas-interpret emulation miscomputes — the override is therefore
+    HARDWARE-ONLY: under cfg.interpret the env var is ignored and the XLA
+    epilogue always runs. ZOKRATES_TPU_MSM_FOLD=0 forces the XLA epilogue
+    on hardware too (cross-check knob); any value other than '0'/'1'
+    raises."""
+    env = os.environ.get("ZOKRATES_TPU_MSM_FOLD")
+    if env is not None and env not in ("0", "1"):
+        raise ValueError(
+            f"ZOKRATES_TPU_MSM_FOLD must be '0' or '1', got {env!r}"
+        )
+    if cfg.interpret:
+        return False
+    return env != "0"
+
+
+def _msm_device(p, W, N, cfg: MSMConfig, P128, scalars, safe: bool, beta=None, fold: bool = False):
     """Device part of the sorted MSM. Returns (out (3nl, M4) window sums
     with window w's Jacobian total in lane w*lw2, collision flag scalar)."""
     nl = field_spec(p).nl if beta is None else 2 * field_spec(p).nl
@@ -771,13 +795,10 @@ def _msm_device(p, W, N, cfg: MSMConfig, P128, scalars, safe: bool, beta=None):
 
     A = _to_walk(table[: W * hb], M4, L4)
     B = _to_walk(table[W * hb : 2 * W * hb], M4, L4)
-    # Default: in-kernel fold epilogue on hardware, XLA epilogue under
-    # interpret mode. ZOKRATES_TPU_MSM_FOLD=0/1 forces either path (tests
-    # cross-check fold-vs-XLA on the prod layout in interpret mode).
-    fold = lw2 % 128 == 0 and len(_tail_of(M4)) == 2
-    if fold:
-        env = os.environ.get("ZOKRATES_TPU_MSM_FOLD")
-        fold = (env == "1") if env is not None else not cfg.interpret
+    # In-kernel fold epilogue when the layout supports it AND the caller
+    # resolved fold=True (hardware only — see _fold_override); otherwise
+    # the XLA epilogue (_suffix_post).
+    fold = fold and lw2 % 128 == 0 and len(_tail_of(M4)) == 2
     sfx = _suffix_call(p, L4, lw2, M4, cfg.interpret, fold, beta)
     out = sfx(A, B)
     if fold:
@@ -793,11 +814,13 @@ def _msm_device(p, W, N, cfg: MSMConfig, P128, scalars, safe: bool, beta=None):
 _MSM_JITS = {}
 
 
-def _msm_jit(p, W, N, cfg, safe, beta=None):
-    key = (p, W, N, cfg, safe, beta)
+def _msm_jit(p, W, N, cfg, safe, beta=None, fold=False):
+    key = (p, W, N, cfg, safe, beta, fold)
     if key not in _MSM_JITS:
         _MSM_JITS[key] = jax.jit(
-            functools.partial(_msm_device, p, W, N, cfg, safe=safe, beta=beta)
+            functools.partial(
+                _msm_device, p, W, N, cfg, safe=safe, beta=beta, fold=fold
+            )
         )
     return _MSM_JITS[key]
 
@@ -943,18 +966,23 @@ def msm_sorted_host(p, r_mod, P128, scalars, cfg: MSMConfig | None = None, max_b
     W = _windows(r_mod, cfg.c)
     if max_bits is not None:
         W = min(W, -(-max_bits // cfg.c) + 1)
+    fold = _fold_override(cfg)
     if cfg.interpret:
         # eager execution: XLA:CPU compile of the full fused graph is far
         # slower than op-by-op interpretation at test sizes
-        out, coll = _msm_device(p, W, N, cfg, P128, scalars, safe=False, beta=beta)
+        out, coll = _msm_device(
+            p, W, N, cfg, P128, scalars, safe=False, beta=beta, fold=fold
+        )
     else:
-        out, coll = _msm_jit(p, W, N, cfg, False, beta)(P128, scalars)
+        out, coll = _msm_jit(p, W, N, cfg, False, beta, fold)(P128, scalars)
     coll = int(jax.device_get(coll))
     if coll:
         if cfg.interpret:
-            out, _ = _msm_device(p, W, N, cfg, P128, scalars, safe=True, beta=beta)
+            out, _ = _msm_device(
+                p, W, N, cfg, P128, scalars, safe=True, beta=beta, fold=fold
+            )
         else:
-            out, _ = _msm_jit(p, W, N, cfg, True, beta)(P128, scalars)
+            out, _ = _msm_jit(p, W, N, cfg, True, beta, fold)(P128, scalars)
     return combine_windows(p, r_mod, jax.device_get(out), W, cfg, beta=beta)
 
 

@@ -45,7 +45,7 @@ HEADER = """// SPDX-License-Identifier: MIT
 // zokrates_tpu/schemes/marlin.py; transcript = chained keccak-256.
 pragma solidity ^0.8.0;
 
-contract MarlinVerifier {
+contract Verifier {
     uint constant R =
         21888242871839275222246405745257275088548364400416034343698204186575808495617;
     uint constant Q =

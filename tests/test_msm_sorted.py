@@ -102,6 +102,25 @@ def test_msm_sorted_all_same_bucket():
     assert (got.x, got.y) == (exp.x, exp.y)
 
 
+def test_msm_sorted_bit_witness_deep_merge():
+    """zkSNARK-witness scalar distribution: almost every scalar is 0 or 1,
+    so bucket 1 of window 0 holds nearly all points and the per-bucket
+    record count after the accumulation walk hits the M1 worst case. With
+    this config (K2 = cap1//lw2 = 3) the <= 2-records-per-bucket dense
+    table needs FOUR merge levels (32 -> 12 -> 5 -> 3 -> 2); the round-3
+    fixed two-level schedule silently dropped records and corrupted
+    window 0 (the BENCH_r03 sha256 verify failure)."""
+    cfg = MSMConfig(c=8, M1=32, R=1, lw2=64, interpret=True)
+    grp, pts, _ = _setup(n=256)
+    rng = np.random.default_rng(7)
+    scalars = [int(b) for b in rng.integers(0, 2, 256)]
+    scalars[5] = 0xBEEF  # a few multi-window values in the mix
+    scalars[77] = 0xF00D
+    got = _run("bn128", grp, pts, scalars, cfg, max_bits=16)
+    exp = _expected(grp, pts, scalars)
+    assert (got.x, got.y) == (exp.x, exp.y)
+
+
 def test_windows_counts():
     from zokrates_tpu.fields.params import SCALAR_FIELDS
 

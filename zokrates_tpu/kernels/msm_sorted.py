@@ -765,14 +765,30 @@ def _msm_device(p, W, N, cfg: MSMConfig, P128, scalars, safe: bool, beta=None, f
         )
         recs = recs_sc.reshape(W * cap1, 3 * nl)
 
+    # Merge until the provable per-bucket record bound reaches <= 2 (the
+    # dense table is 2-slotted). After walk 1 a bucket's run spans at most
+    # ceil((K1*M1-1)/K1)+1 = M1 lanes -> up to M1 records; each merge level
+    # (lanes own K2 = cap/lw2 consecutive records) shrinks a run of R_b
+    # records to at most ceil((R_b-1)/K2)+1. Skewed scalar distributions
+    # (zkSNARK witnesses are mostly bits: bucket 1 of window 0 can hold
+    # most of the points) DO reach the M1 worst case, so the level count
+    # must come from the bound, not from a fixed 2 (the round-3 bug: two
+    # levels left up to ~9 records per bucket on the sha256 witness and
+    # the table drop corrupted window 0).
+    K2 = cap1 // lw2
+    assert K2 >= 2, (cap1, lw2)  # K2 == 1 would never shrink the bound
+    bound = min(M1, -(-(N - 1) // K1) + 1)
     recs, rbuck = _merge_level(
         p, recs, rec_buck.reshape(-1), W, cap1, cap2, lw2, R, cfg.interpret, beta
     )
-    recs, rbuck = _merge_level(
-        p, recs, rbuck, W, cap2, cap2, lw2, R, cfg.interpret, beta
-    )
+    bound = -(-(bound - 1) // K2) + 1
+    while bound > 2:
+        recs, rbuck = _merge_level(
+            p, recs, rbuck, W, cap2, cap2, lw2, R, cfg.interpret, beta
+        )
+        bound = -(-(bound - 1) // K2) + 1
 
-    # slotted dense table: <= 2 records per bucket after two merges.
+    # slotted dense table: <= 2 records per bucket after the merges.
     # Built as a u32 *index* scatter + one row gather — scattering the
     # (3nl,)-wide record rows directly costs ~4x more (TPU scatter runs
     # far below HBM bandwidth; gathers don't).

@@ -706,15 +706,15 @@ def _fold_override(cfg: MSMConfig) -> bool:
     return env != "0"
 
 
-def _msm_device(p, W, N, cfg: MSMConfig, P128, scalars, safe: bool, beta=None, fold: bool = False):
-    """Device part of the sorted MSM. Returns (out (3nl, M4) window sums
-    with window w's Jacobian total in lane w*lw2, collision flag scalar)."""
-    nl = field_spec(p).nl if beta is None else 2 * field_spec(p).nl
+def _msm_plan(W, N, cfg: MSMConfig, scalars):
+    """Scalar-only part of the sorted MSM: signed digits, per-window sort,
+    walk flags, record compaction positions and record buckets. The result
+    is field- and point-independent, so MSMs over different point sets
+    (Groth16's a/b1/l G1 queries and the b2 G2 query all use the witness
+    vector as scalars) share one plan — the plan is ~2/3 of the per-MSM
+    device time at 2^15 (the lax.sort dominates)."""
     sh = _plan_shapes(N, W, cfg)
-    hb, K1, cap1, cap2 = sh["hb"], sh["K1"], sh["cap1"], sh["cap2"]
-    M1, R, lw2 = cfg.M1, cfg.R, cfg.lw2
-    M4, L4 = sh["M4"], sh["L4"]
-
+    K1, cap1 = sh["K1"], sh["cap1"]
     buckets, signs = _signed_digits(scalars, W, cfg.c)
     idx = jnp.broadcast_to(jnp.arange(N, dtype=jnp.uint32)[None], (W, N))
     payload = idx | (signs << np.uint32(31))
@@ -724,6 +724,24 @@ def _msm_device(p, W, N, cfg: MSMConfig, P128, scalars, safe: bool, beta=None, f
     gpos = _compact_positions(valid, cap1)
     vtaken = jnp.take_along_axis(valid, gpos, axis=1)
     rec_buck = jnp.where(vtaken, jnp.take_along_axis(sb, gpos, axis=1), 0)
+    return sidx, flags2d, gpos, rec_buck
+
+
+def _msm_device(p, W, N, cfg: MSMConfig, P128, scalars, safe: bool, beta=None, fold: bool = False):
+    """Device part of the sorted MSM (plan + point pipeline fused)."""
+    plan = _msm_plan(W, N, cfg, scalars)
+    return _msm_from_plan(p, W, N, cfg, P128, plan, safe, beta=beta, fold=fold)
+
+
+def _msm_from_plan(p, W, N, cfg: MSMConfig, P128, plan, safe: bool, beta=None, fold: bool = False):
+    """Point part of the sorted MSM over a precomputed plan. Returns
+    (window sums with window w's Jacobian total, collision flag scalar)."""
+    nl = field_spec(p).nl if beta is None else 2 * field_spec(p).nl
+    sh = _plan_shapes(N, W, cfg)
+    hb, K1, cap1, cap2 = sh["hb"], sh["K1"], sh["cap1"], sh["cap2"]
+    M1, R, lw2 = cfg.M1, cfg.R, cfg.lw2
+    M4, L4 = sh["M4"], sh["L4"]
+    sidx, flags2d, gpos, rec_buck = plan
 
     l1 = _walk_call(p, R, M1, K1 // R, "mixed", safe, cfg.interpret, beta)
 
@@ -839,6 +857,35 @@ def _msm_jit(p, W, N, cfg, safe, beta=None, fold=False):
             )
         )
     return _MSM_JITS[key]
+
+
+_PLAN_JITS = {}
+_FROMPLAN_JITS = {}
+
+
+def plan_jit(W, N, cfg):
+    """Jitted scalars -> plan tensors (shared across same-scalar MSMs)."""
+    key = (W, N, cfg)
+    if key not in _PLAN_JITS:
+        _PLAN_JITS[key] = jax.jit(functools.partial(_msm_plan, W, N, cfg))
+    return _PLAN_JITS[key]
+
+
+def msm_from_plan_jit(p, W, N, cfg, safe, beta=None, fold=False):
+    """Jitted (P128, *plan) -> window sums. One executable serves every
+    query of the same shape/field — the Groth16 prover runs it four times
+    (a/b1/l/h) against two plans."""
+    key = (p, W, N, cfg, safe, beta, fold)
+    if key not in _FROMPLAN_JITS:
+        def run(P128, sidx, flags2d, gpos, rec_buck,
+                _p=p, _W=W, _N=N, _cfg=cfg, _safe=safe, _beta=beta, _fold=fold):
+            return _msm_from_plan(
+                _p, _W, _N, _cfg, P128, (sidx, flags2d, gpos, rec_buck),
+                _safe, beta=_beta, fold=_fold,
+            )
+
+        _FROMPLAN_JITS[key] = jax.jit(run)
+    return _FROMPLAN_JITS[key]
 
 
 # ---------------------------------------------------------------------------

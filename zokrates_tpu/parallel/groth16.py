@@ -287,7 +287,9 @@ class ShardedGroth16:
             sa = masked(z_can, self.masks["a"], self.mt)
             sb = masked(z_can, self.masks["b1"], self.mt)
             sb2 = masked(z_can, self.masks["b2"], self.mt)
-            sl = masked(z_can[ni:], self.masks["l"], self.lt)
+            # l query is z-aligned (dummies at instance/absent slots are
+            # masked out), so l shares the full witness scalar vector
+            sl = masked(z_can, self.masks["l"], self.lt)
 
             a_acc = self._to_g1(self.msm1(self.qa[0], self.qa[1], sa))
             b1_acc = self._to_g1(self.msm1(self.qb1[0], self.qb1[1], sb))

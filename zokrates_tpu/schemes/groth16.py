@@ -78,10 +78,16 @@ def _msm_backend() -> str:
 class ProvingKey:
     """Groth16 proving key with queries pre-packed for the device MSM.
 
-    Layout per G1 query: (n, 128) uint32 rows [x | y | -y | zero-pad]
-    (Montgomery limbs) + a bool mask (False = zero polynomial, i.e. the
-    reference's absent query element). G2 queries keep (n, 2, nl)
-    Montgomery coordinate arrays for the XLA G2 Pippenger.
+    Layout per G1 query: (m, 128) uint32 rows [x | y | -y | zero-pad]
+    (Montgomery limbs), one row per witness index — the a/b1/l/b2 queries
+    are all z-ALIGNED so the four witness-scalar MSMs share one sorted
+    plan. Where the reference has no query element (zero polynomial, or
+    l's leading num_instance slots) the row holds the DISTINCT dummy
+    point (i+1)*G and the mask is False; provers either zero the scalar
+    at masked slots (XLA / sharded paths) or run the raw witness vector
+    and subtract the device-computed correction sum_masked z_i*(i+1) * G
+    (fused sorted path — see corr_w). The b2 query packs G2 rows
+    [x.c0|x.c1|y.c0|y.c1|-y.c0|-y.c1] with the same mask as b1.
 
     Everything is numpy (pickle-friendly); device copies are cached
     per-process on first prove.
@@ -101,12 +107,13 @@ class ProvingKey:
         a_mask: np.ndarray,
         b1_p128: np.ndarray,
         b1_mask: np.ndarray,
-        b2_x: np.ndarray,
-        b2_y: np.ndarray,
+        b2_p128: np.ndarray,
         b2_mask: np.ndarray,
         h_p128: np.ndarray,
         l_p128: np.ndarray,
         l_mask: np.ndarray,
+        corr_w: np.ndarray,
+        b2_xy: Optional[Tuple[np.ndarray, np.ndarray]] = None,
     ):
         self.curve = curve
         self.domain_size = domain_size
@@ -120,13 +127,34 @@ class ProvingKey:
         self.a_mask = a_mask
         self.b1_p128 = b1_p128
         self.b1_mask = b1_mask
-        self.b2_x = b2_x
-        self.b2_y = b2_y
+        self.b2_p128 = b2_p128
         self.b2_mask = b2_mask
         self.h_p128 = h_p128
         self.l_p128 = l_p128
         self.l_mask = l_mask
+        self.corr_w = corr_w  # (3, m, nl) Montgomery dummy weights: a, b, l
+        # wide-field curves (6*nl > 128, e.g. bls12_381 G2) cannot pack
+        # G2 rows into the 128-column gather layout: b2_p128 is None and
+        # the raw coordinate arrays are kept instead (XLA G2 path only)
+        self._b2_xy = b2_xy
         self._dev: Dict = {}
+
+    # -- G2 coordinate views (XLA Pippenger / sharded prover) --------------
+    @property
+    def b2_x(self) -> np.ndarray:
+        if self.b2_p128 is None:
+            return self._b2_xy[0]
+        nl = n_limbs(P.BASE_FIELDS[self.curve].p)
+        m = self.b2_p128.shape[0]
+        return self.b2_p128[:, : 2 * nl].reshape(m, 2, nl)
+
+    @property
+    def b2_y(self) -> np.ndarray:
+        if self.b2_p128 is None:
+            return self._b2_xy[1]
+        nl = n_limbs(P.BASE_FIELDS[self.curve].p)
+        m = self.b2_p128.shape[0]
+        return self.b2_p128[:, 2 * nl : 4 * nl].reshape(m, 2, nl)
 
     def __getstate__(self):
         d = dict(self.__dict__)
@@ -169,11 +197,19 @@ class ProvingKey:
 
     @property
     def l_query(self) -> List[Optional[Tuple[int, int]]]:
-        return self._unpack_g1(self.l_p128, self.l_mask)
+        """Reference-shaped l query: one entry per witness index >= ni
+        (the internal array is z-aligned with dummies at [0, ni))."""
+        ni = self.num_instance
+        return self._unpack_g1(self.l_p128[ni:], self.l_mask[ni:])
 
     @l_query.setter
     def l_query(self, pts):
-        self.l_p128, self.l_mask = _pack_query(self.curve, pts)
+        ni = self.num_instance
+        m = ni + len(pts)
+        full = [None] * ni + list(pts)
+        self.l_p128, self.l_mask, self.corr_w[2] = _pack_query_dummied(
+            self.curve, full
+        )
         self._dev.clear()
 
     # -- device cache -------------------------------------------------------
@@ -208,6 +244,33 @@ def _pack_query(curve: str, pts: Sequence[Optional[Tuple[int, int]]]):
     Y = f.encode(ys)
     p128 = np.asarray(jax.device_get(pack_points(q, X, Y)))
     return p128, mask
+
+
+def _pack_query_dummied(curve: str, pts: Sequence[Optional[Tuple[int, int]]]):
+    """Host affine points (None = absent) -> z-aligned packed rows with
+    DISTINCT dummy points (i+1)*G at absent slots, mask (False = dummy),
+    and the (m, nl_r) Montgomery correction-weight rows (i+1 at dummies,
+    0 elsewhere)."""
+    from ..fields.jfield import field_ops
+
+    grp = g1_group(curve)
+    g = grp.generator()
+    p_r = P.SCALAR_FIELDS[curve].p
+    fr = field_ops(p_r)
+    full = []
+    weights = []
+    for i, pt in enumerate(pts):
+        if pt is None:
+            d = g * (i + 1)
+            full.append((d.x, d.y))
+            weights.append(i + 1)
+        else:
+            full.append(pt)
+            weights.append(0)
+    p128, _ = _pack_query(curve, full)
+    mask = np.asarray([pt is not None for pt in pts], dtype=bool)
+    corr_w = np.asarray(jax.device_get(fr.encode(weights)))
+    return p128, mask, corr_w
 
 
 def _pack_from_device(curve: str, ax, ay, inf):
@@ -327,20 +390,53 @@ def setup(r1cs: R1CS, rng=None) -> Tuple[ProvingKey, VerificationKey]:
         h_s.append(tp)
         tp = tp * tau % p
 
-    l_s = [
-        (beta * a_t[i] + alpha * b_t[i] + c_t[i]) % p * delta_inv % p
-        for i in range(ni, m)
-    ]
+    # z-aligned l query: dummies at the instance slots and absent entries
+    l_full = [0] * m
+    for i in range(ni, m):
+        l_full[i] = (beta * a_t[i] + alpha * b_t[i] + c_t[i]) % p * delta_inv % p
     abc_s = [
         (beta * a_t[i] + alpha * b_t[i] + c_t[i]) % p * gamma_inv % p
         for i in range(ni)
     ]
 
-    a_p128, a_mask = _fb_g1(curve, a_t)
-    b1_p128, b1_mask = _fb_g1(curve, b_t)
+    # every query row is a valid affine point: absent entries get the
+    # DISTINCT dummy point (i+1)*G (fixed-base over the dummied scalar),
+    # so the fused prover can run the raw witness vector and subtract the
+    # correction sum_dummy z_i*(i+1) afterwards. Masks mark real entries.
+    def dummied(scalars):
+        return [s if s else (i + 1) for i, s in enumerate(scalars)]
+
+    from ..fields.jfield import field_ops as _field_ops
+    from ..kernels.msm_sorted import pack_points_g2
+
+    fr = _field_ops(p)
+
+    def weights(scalars):
+        return np.asarray(
+            jax.device_get(
+                fr.encode([0 if s else (i + 1) for i, s in enumerate(scalars)])
+            )
+        )
+
+    a_p128, _ = _fb_g1(curve, dummied(a_t))
+    b1_p128, _ = _fb_g1(curve, dummied(b_t))
     h_p128, _ = _fb_g1(curve, h_s)
-    l_p128, l_mask = _fb_g1(curve, l_s)
-    b2_x, b2_y, b2_mask = _fb_g2(curve, b_t)
+    l_p128, _ = _fb_g1(curve, dummied(l_full))
+    b2x, b2y, _ = _fb_g2(curve, dummied(b_t))
+    nlq = n_limbs(P.BASE_FIELDS[curve].p)
+    if 6 * nlq <= 128:
+        b2_p128 = np.asarray(
+            jax.device_get(pack_points_g2(P.BASE_FIELDS[curve].p,
+                                          jnp.asarray(b2x), jnp.asarray(b2y)))
+        )
+        b2_xy = None
+    else:  # wide-field G2 rows don't fit the 128-col gather layout
+        b2_p128 = None
+        b2_xy = (np.asarray(b2x), np.asarray(b2y))
+    a_mask = np.asarray([s != 0 for s in a_t], dtype=bool)
+    b_mask = np.asarray([s != 0 for s in b_t], dtype=bool)
+    l_mask = np.asarray([s != 0 for s in l_full], dtype=bool)
+    corr_w = np.stack([weights(a_t), weights(b_t), weights(l_full)])
 
     gamma_abc = _fb_g1_points(curve, abc_s)
     # vk points must be affine non-None; abc scalars are nonzero w.h.p. but
@@ -361,13 +457,14 @@ def setup(r1cs: R1CS, rng=None) -> Tuple[ProvingKey, VerificationKey]:
         a_p128=a_p128,
         a_mask=a_mask,
         b1_p128=b1_p128,
-        b1_mask=b1_mask,
-        b2_x=b2_x,
-        b2_y=b2_y,
-        b2_mask=b2_mask,
+        b1_mask=b_mask,
+        b2_p128=b2_p128,
+        b2_mask=b_mask,
         h_p128=h_p128,
         l_p128=l_p128,
         l_mask=l_mask,
+        corr_w=corr_w,
+        b2_xy=b2_xy,
     )
     vk = VerificationKey(
         "g16",
@@ -532,16 +629,18 @@ def _h_stage(curve: str, n: int):
 
     def pipeline(ar, ac, av, br, bc, bv, cr, cc, cv, z_can):
         z_mont = f.to_mont_(z_can)
-        a_e = matvec(ar, ac, av, z_mont)
-        b_e = matvec(br, bc, bv, z_mont)
-        c_e = matvec(cr, cc, cv, z_mont)
-        a_c = dom.ifft(a_e)
-        b_c = dom.ifft(b_e)
-        c_c = dom.ifft(c_e)
-        a_cs = dom.coset_fft(a_c, g)
-        b_cs = dom.coset_fft(b_c, g)
-        c_cs = dom.coset_fft(c_c, g)
-        h_cs = f.mul_(f.sub_(f.mul_(a_cs, b_cs), c_cs), zinv_mont)
+        abc_e = jnp.stack([
+            matvec(ar, ac, av, z_mont),
+            matvec(br, bc, bv, z_mont),
+            matvec(cr, cc, cv, z_mont),
+        ])
+        # one batched iNTT + coset NTT over the (3, n, nl) stack — the NTT
+        # core broadcasts over leading axes, so the 6 transforms cost two
+        # passes of stage ops instead of six
+        abc_cs = dom.coset_fft(dom.ifft(abc_e), g)
+        h_cs = f.mul_(
+            f.sub_(f.mul_(abc_cs[0], abc_cs[1]), abc_cs[2]), zinv_mont
+        )
         h = dom.coset_ifft(h_cs, g)
         return f.from_mont_(h)
 
@@ -655,6 +754,190 @@ def _msm_tier(n: int) -> int:
     return max(4, _next_pow2(n))
 
 
+_CORR_JIT: Dict = {}
+
+
+def _corr_stage(curve: str, N: int):
+    """Jitted (3, N, nl) Montgomery dummy weights x (N, nl) canonical z ->
+    (3, nl) canonical correction scalars sum_i w_i * z_i mod r."""
+    key = (curve, N)
+    fn = _CORR_JIT.get(key)
+    if fn is not None:
+        return fn
+    p = P.SCALAR_FIELDS[curve].p
+    from ..fields.jfield import field_ops
+
+    f = field_ops(p)
+    chunk = min(N, 1 << 15)  # u32 lazy-sum headroom (16-bit limb terms)
+    C = -(-N // chunk)
+
+    def corr(corr_w, z_can):
+        zm = f.to_mont_(z_can)
+        prod = f.mul_(corr_w, jnp.broadcast_to(zm[None], corr_w.shape))
+        s1 = f.reduce_wide_(
+            jnp.sum(prod.reshape(3, C, chunk, -1), axis=2)
+        )  # (3, C, nl) Montgomery
+        s2 = f.reduce_wide_(jnp.sum(s1, axis=1))
+        return f.from_mont_(s2)
+
+    fn = jax.jit(corr)
+    _CORR_JIT[key] = fn
+    return fn
+
+
+def _jac_to_g1(curve: str, jac) -> PointG1:
+    grp = g1_group(curve)
+    jx, jy, jz = jac
+    if jz == 0:
+        return grp.zero()
+    q = grp.q
+    zi = pow(jz, -1, q)
+    return PointG1(grp, jx * zi * zi % q, jy * zi * zi % q * zi % q)
+
+
+def _jac_to_g2(curve: str, jac) -> PointG2:
+    from ..ec.tower import Fq2
+
+    grp = g2_group(curve)
+    jx, jy, jz = jac
+    if jz == (0, 0):
+        return grp.zero()
+    zf = Fq2(grp.tower, jz[0], jz[1])
+    zi = zf.inv()
+    zi2 = zi * zi
+    return PointG2(
+        grp,
+        Fq2(grp.tower, jx[0], jx[1]) * zi2,
+        Fq2(grp.tower, jy[0], jy[1]) * zi2 * zi,
+    )
+
+
+_FUSED_JIT: Dict = {}
+
+
+def _fused_prove_fn(curve: str, N: int, n: int, W: int, cfg, fold: bool):
+    """ONE jitted program for the whole prove compute: h pipeline, two
+    sorted-MSM plans (witness + h scalars), the four G1 MSMs as a scan
+    over stacked queries (one traced copy), the G2 MSM, and the dummy
+    corrections. A single dispatch matters doubly on the axon TPU tunnel,
+    where each DEPENDENT jit call costs a ~25-95 ms round trip — the
+    9-call pipeline spent more time on the wire than in the MXU/VPU."""
+    key = (curve, N, n, W, cfg, fold)
+    fn = _FUSED_JIT.get(key)
+    if fn is not None:
+        return fn
+
+    from ..fields.jfield import field_ops
+    from ..kernels.msm_sorted import _msm_from_plan, _msm_plan
+
+    p = P.SCALAR_FIELDS[curve].p
+    q = P.BASE_FIELDS[curve].p
+    beta = g2_group(curve).tower.beta - q
+    f = field_ops(p)
+    _h_stage(curve, n)  # populate _H_RAW
+    h_raw = _H_RAW[(curve, n)]
+    chunk = min(N, 1 << 15)  # u32 lazy-sum headroom (16-bit limb terms)
+    C = -(-N // chunk)
+
+    def fused(ar, ac, av, br, bc, bv, cr, cc, cv, z_pad, qg1, qb2, corr_w):
+        h = h_raw(ar, ac, av, br, bc, bv, cr, cc, cv, z_pad)
+        h_pad = jnp.pad(h[: n - 1], ((0, N - (n - 1)), (0, 0)))
+        plan_z = _msm_plan(W, N, cfg, z_pad)
+        plan_h = _msm_plan(W, N, cfg, h_pad)
+        plans = jax.tree_util.tree_map(
+            lambda a, b: jnp.stack([a, a, a, b]), plan_z, plan_h
+        )
+
+        def body(carry, xs):
+            P128_i, plan_i = xs
+            (wX, wY, wZ), _ = _msm_from_plan(
+                q, W, N, cfg, P128_i, plan_i, True, beta=None, fold=fold
+            )
+            return carry, (wX, wY, wZ)
+
+        _, g1outs = jax.lax.scan(body, 0, (qg1, plans))
+        out_b2, _ = _msm_from_plan(
+            q, W, N, cfg, qb2, plan_z, True, beta=beta, fold=fold
+        )
+
+        zm = f.to_mont_(z_pad)
+        prod = f.mul_(corr_w, jnp.broadcast_to(zm[None], corr_w.shape))
+        s1 = f.reduce_wide_(jnp.sum(prod.reshape(3, C, chunk, -1), axis=2))
+        corr = f.from_mont_(f.reduce_wide_(jnp.sum(s1, axis=1)))
+        return g1outs, out_b2, corr
+
+    fn = jax.jit(fused)
+    _FUSED_JIT[key] = fn
+    return fn
+
+
+def _accumulators_sorted(curve, pk, dev: R1CSDevice, z_limbs, m, n, ni):
+    """Fused sorted-MSM prove core: ONE device dispatch for h + plans +
+    MSMs + corrections (see _fused_prove_fn), one host sync, then the
+    host window combine and dummy-correction subtraction."""
+    from ..kernels.msm_sorted import (
+        _fold_override,
+        _windows,
+        combine_windows,
+        default_config,
+    )
+
+    p = P.SCALAR_FIELDS[curve].p
+    q = P.BASE_FIELDS[curve].p
+    g2grp = g2_group(curve)
+    beta = g2grp.tower.beta - q
+
+    N = max(_msm_tier(m), _msm_tier(n - 1))
+    cfg = default_config(N, interpret=jax.default_backend() != "tpu")
+    need = cfg.M1 * cfg.R
+    if N % need:
+        N = -(-N // need) * need
+    W = _windows(p, cfg.c)
+    fold = _fold_override(cfg)
+
+    d = pk.dev()
+    if "fused_g1" not in d:
+        d["fused_g1"] = jnp.asarray(
+            np.stack([
+                _pad_rows(pk.a_p128, N),
+                _pad_rows(pk.b1_p128, N),
+                _pad_rows(pk.l_p128, N),
+                _pad_rows(pk.h_p128, N),
+            ])
+        )
+        d["fused_b2"] = jnp.asarray(_pad_rows(pk.b2_p128, N))
+        d["fused_corr"] = jnp.asarray(
+            np.pad(pk.corr_w, ((0, 0), (0, N - m), (0, 0)))
+        )
+
+    z_pad = jnp.asarray(np.pad(np.asarray(z_limbs), ((0, N - m), (0, 0))))
+    fn = _fused_prove_fn(curve, N, n, W, cfg, fold)
+    g1outs, out_b2, corr = fn(
+        *_coo_args(dev), z_pad, d["fused_g1"], d["fused_b2"], d["fused_corr"]
+    )
+
+    # single sync point: fetch window sums + corrections together
+    g1w, w2, corr_np = jax.device_get((g1outs, out_b2, corr))
+    ca, cb, cl = limbs_to_ints(np.asarray(corr_np))
+
+    g1 = g1_group(curve).generator()
+    g2 = g2grp.generator()
+
+    def g1_res(i):
+        return _jac_to_g1(
+            curve, combine_windows(q, p, (g1w[0][i], g1w[1][i], g1w[2][i]), W, cfg)
+        )
+
+    a_acc = g1_res(0) - g1 * ca
+    b1_acc = g1_res(1) - g1 * cb
+    l_acc = g1_res(2) - g1 * cl
+    h_acc = g1_res(3)
+    b2_acc = _jac_to_g2(
+        curve, combine_windows(q, p, w2, W, cfg, beta=beta)
+    ) - g2 * cb
+    return a_acc, b1_acc, b2_acc, l_acc, h_acc
+
+
 def prove(r1cs: R1CS, pk: ProvingKey, witness: Witness, rng=None) -> Proof:
     curve = r1cs.curve
     p = P.SCALAR_FIELDS[curve].p
@@ -667,34 +950,39 @@ def prove(r1cs: R1CS, pk: ProvingKey, witness: Witness, rng=None) -> Proof:
     m = len(z)
     nls = n_limbs(p)
 
-    z_can = jnp.asarray(ints_to_limbs(z, nls))
+    z_limbs = ints_to_limbs(z, nls)
 
     dev = _r1cs_device(r1cs, n)
-    h_can = _h_stage(curve, n)(*_coo_args(dev), z_can)[: n - 1]
-
-    # device queries, padded to shared tiers
-    d = pk.dev()
-    tier_m = _msm_tier(m)
-    tier_h = _msm_tier(n - 1)
-    tier_l = _msm_tier(max(1, m - ni))
-    for key, src, tier in (
-        ("a_pad", pk.a_p128, tier_m),
-        ("b1_pad", pk.b1_p128, tier_m),
-        ("h_pad", pk.h_p128, tier_h),
-        ("l_pad", pk.l_p128, tier_l),
-        ("b2x_pad", pk.b2_x, tier_m),
-        ("b2y_pad", pk.b2_y, tier_m),
-    ):
-        if key not in d:
-            d[key] = jnp.asarray(_pad_rows(src, tier))
 
     r, s = rand(), rand()
 
-    a_acc = _msm_packed_g1(curve, d["a_pad"], z_can, d["a_mask"])
-    b1_acc = _msm_packed_g1(curve, d["b1_pad"], z_can, d["b1_mask"])
-    b2_acc = _msm_dev_g2(curve, d["b2x_pad"], d["b2y_pad"], z_can, d["b2_mask"])
-    l_acc = _msm_packed_g1(curve, d["l_pad"], z_can[ni:], d["l_mask"])
-    h_acc = _msm_packed_g1(curve, d["h_pad"], h_can)
+    if _msm_backend() == "sorted" and pk.b2_p128 is not None:
+        a_acc, b1_acc, b2_acc, l_acc, h_acc = _accumulators_sorted(
+            curve, pk, dev, z_limbs, m, n, ni
+        )
+    else:
+        # XLA Pippenger path (CPU tests): masks zero the dummy-slot scalars
+        z_can = jnp.asarray(z_limbs)
+        h_can = _h_stage(curve, n)(*_coo_args(dev), z_can)[: n - 1]
+        d = pk.dev()
+        tier_m = _msm_tier(m)
+        tier_h = _msm_tier(n - 1)
+        for key, src, tier in (
+            ("a_pad", pk.a_p128, tier_m),
+            ("b1_pad", pk.b1_p128, tier_m),
+            ("h_pad", pk.h_p128, tier_h),
+            ("l_pad", pk.l_p128, tier_m),
+            ("b2x_pad", pk.b2_x, tier_m),
+            ("b2y_pad", pk.b2_y, tier_m),
+        ):
+            if key not in d:
+                d[key] = jnp.asarray(_pad_rows(src, tier))
+
+        a_acc = _msm_packed_g1(curve, d["a_pad"], z_can, d["a_mask"])
+        b1_acc = _msm_packed_g1(curve, d["b1_pad"], z_can, d["b1_mask"])
+        b2_acc = _msm_dev_g2(curve, d["b2x_pad"], d["b2y_pad"], z_can, d["b2_mask"])
+        l_acc = _msm_packed_g1(curve, d["l_pad"], z_can, d["l_mask"])
+        h_acc = _msm_packed_g1(curve, d["h_pad"], h_can)
 
     delta_g1 = pk.delta_g1
 
@@ -795,12 +1083,11 @@ def prove_batch(
     d = pk.dev()
     tier_m = _msm_tier(m)
     tier_h = _msm_tier(n - 1)
-    tier_l = _msm_tier(max(1, m - ni))
     for key, src, tier in (
         ("a_pad", pk.a_p128, tier_m),
         ("b1_pad", pk.b1_p128, tier_m),
         ("h_pad", pk.h_p128, tier_h),
-        ("l_pad", pk.l_p128, tier_l),
+        ("l_pad", pk.l_p128, tier_m),
         ("b2x_pad", pk.b2_x, tier_m),
         ("b2y_pad", pk.b2_y, tier_m),
     ):
@@ -826,7 +1113,7 @@ def prove_batch(
 
     a_aff = g1_batch(d["a_pad"], batch_scalars(Z, d["a_mask"], tier_m))
     b1_aff = g1_batch(d["b1_pad"], batch_scalars(Z, d["b1_mask"], tier_m))
-    l_aff = g1_batch(d["l_pad"], batch_scalars(Z[:, ni:], d["l_mask"], tier_l))
+    l_aff = g1_batch(d["l_pad"], batch_scalars(Z, d["l_mask"], tier_m))
     h_aff = g1_batch(d["h_pad"], batch_scalars(H, None, tier_h))
 
     g2ops = curve_ops_g2(curve)

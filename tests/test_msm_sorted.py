@@ -121,6 +121,53 @@ def test_msm_sorted_bit_witness_deep_merge():
     assert (got.x, got.y) == (exp.x, exp.y)
 
 
+def test_msm_sorted_split_plan():
+    """Two-group sparse window split (dense low windows + last-Ks sparse
+    high windows) against the host oracle. Mirrors the fused Groth16
+    prover's composition: per-group _msm_from_plan, window sums
+    concatenated in window order, one combine."""
+    import jax
+
+    from zokrates_tpu.kernels.msm_sorted import (
+        _msm_from_plan,
+        _msm_plan_split,
+        combine_windows,
+    )
+
+    cfg = MSMConfig(c=8, M1=32, R=2, lw2=8, interpret=True)
+    grp, pts, _ = _setup(n=128)
+    rng = np.random.default_rng(11)
+    scalars = [int(b) for b in rng.integers(0, 2, 128)]  # window 0 dense
+    scalars[7] = 0xBE01  # a few high-window digits (sparse group)
+    scalars[21] = 0xF00D
+    scalars[40] = 0x1234
+
+    f = field_ops(grp.q)
+    X = f.encode([p.x for p in pts])
+    Y = f.encode([p.y for p in pts])
+    S = jnp.asarray(ints_to_limbs(scalars, n_limbs(grp.r)))
+    X, Y, S = pad_msm_inputs(grp.q, X, Y, S, min_n=cfg.M1 * cfg.R)
+    P128 = pack_points(grp.q, X, Y)
+    N = P128.shape[0]
+    W, w0, Ks = 3, 1, 64  # nnz(w>=1) == 3 <= Ks = M1*R < N
+
+    pd, ps = _msm_plan_split(W, N, cfg, S, w0, Ks)
+    out_d, _ = _msm_from_plan(grp.q, w0, N, cfg, P128, pd, True)
+    out_s, _ = _msm_from_plan(grp.q, W - w0, N, cfg, P128, ps, True)
+    wXYZ = tuple(
+        np.concatenate(
+            [np.asarray(jax.device_get(out_d[i])),
+             np.asarray(jax.device_get(out_s[i]))], axis=0
+        )
+        for i in range(3)
+    )
+    jx, jy, jz = combine_windows(grp.q, grp.r, wXYZ, W, cfg)
+    exp = _expected(grp, pts, scalars)
+    zinv = pow(jz, -1, grp.q)
+    got = (jx * zinv * zinv % grp.q, jy * zinv * zinv % grp.q * zinv % grp.q)
+    assert got == (exp.x, exp.y)
+
+
 def test_windows_counts():
     from zokrates_tpu.fields.params import SCALAR_FIELDS
 

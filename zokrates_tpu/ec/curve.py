@@ -75,14 +75,25 @@ class PointG1:
 
     def __mul__(self, k: int) -> "PointG1":
         k = int(k) % self.curve.r
-        acc = PointG1(self.curve, None, None)
-        add = self
-        while k:
-            if k & 1:
-                acc = acc + add
-            add = add + add
-            k >>= 1
-        return acc
+        if k == 0 or self.infinity:
+            return PointG1(self.curve, None, None)
+        if self.curve.a:  # generic-a fallback: affine ladder
+            acc = PointG1(self.curve, None, None)
+            add = self
+            while k:
+                if k & 1:
+                    acc = acc + add
+                add = add + add
+                k >>= 1
+            return acc
+        # a=0 fast path: Jacobian ladder, one final inversion
+        from .jacobian import jac_mul, jac_to_affine
+
+        q = self.curve.q
+        aff = jac_to_affine(q, jac_mul(q, (self.x, self.y, 1), k))
+        if aff is None:
+            return PointG1(self.curve, None, None)
+        return PointG1(self.curve, aff[0], aff[1])
 
     __rmul__ = __mul__
 
@@ -147,6 +158,39 @@ class PointG2:
 
     def __mul__(self, k: int) -> "PointG2":
         k = int(k) % self.curve.r
+        if k == 0 or self.infinity:
+            return PointG2(self.curve, None, None)
+        fast = (
+            not self.curve.a
+            and hasattr(self.x, "c0")
+            and getattr(self.x, "ctx", None) is not None
+        )
+        if fast:
+            # a=0 fast path: tuple-Fq2 Jacobian ladder, one final inversion
+            from .jacobian import jac2_mul, jac2_to_affine
+
+            q = self.curve.q
+            beta = self.x.ctx.beta
+            P = ((self.x.c0, self.x.c1), (self.y.c0, self.y.c1), (1, 0))
+            aff = jac2_to_affine(q, beta, jac2_mul(q, beta, P, k))
+            if aff is None:
+                return PointG2(self.curve, None, None)
+            from .tower import Fq2
+
+            return PointG2(
+                self.curve,
+                Fq2(self.x.ctx, aff[0][0], aff[0][1]),
+                Fq2(self.x.ctx, aff[1][0], aff[1][1]),
+            )
+        if not self.curve.a and isinstance(self.x, int):
+            # BW6-style G2 over the base field: same a=0 G1 formulas
+            from .jacobian import jac_mul, jac_to_affine
+
+            q = self.curve.q
+            aff = jac_to_affine(q, jac_mul(q, (self.x, self.y, 1), k))
+            if aff is None:
+                return PointG2(self.curve, None, None)
+            return PointG2(self.curve, aff[0], aff[1])
         acc = PointG2(self.curve, None, None)
         add = self
         while k:

@@ -265,7 +265,14 @@ def _suffix_sb(M: int, nl: int, lw: int) -> int:
     tail = _tail_of(M)
     if len(tail) != 2 or lw % 128 != 0:
         return 0  # legacy 1D layout / sub-row windows: no blocking
-    return min(tail[0], 8)
+    S = tail[0]
+    g = lw // 128
+    # sb must divide S (grid coverage) and be a multiple of g (whole
+    # windows per block); largest such <= 8 keeps the frame small
+    for cand in range(min(S, 8), 0, -1):
+        if S % cand == 0 and cand % g == 0:
+            return cand
+    return 0
 
 
 def suffix_kernel_factory(
@@ -706,20 +713,35 @@ def _fold_override(cfg: MSMConfig) -> bool:
     return env != "0"
 
 
-def _msm_plan(W, N, cfg: MSMConfig, scalars):
+def _msm_plan(W, N, cfg: MSMConfig, scalars, Ks: int = None):
     """Scalar-only part of the sorted MSM: signed digits, per-window sort,
     walk flags, record compaction positions and record buckets. The result
     is field- and point-independent, so MSMs over different point sets
     (Groth16's a/b1/l G1 queries and the b2 G2 query all use the witness
     vector as scalars) share one plan — the plan is ~2/3 of the per-MSM
-    device time at 2^15 (the lax.sort dominates)."""
-    sh = _plan_shapes(N, W, cfg)
-    K1, cap1 = sh["K1"], sh["cap1"]
+    device time at 2^15 (the lax.sort dominates).
+
+    Ks < N produces a SPARSE plan: the per-window sort puts bucket 0
+    (zero digits, skipped) first, so every nonzero digit lives in the
+    LAST nnz(w) sorted positions — if the caller guarantees
+    max_w nnz(w) <= Ks (zkSNARK witnesses are mostly bits, so the host
+    can count exact signed-digit nonzeros cheaply), walking only the
+    last-Ks slice is exact and cuts walk/gather/merge cost by N/Ks."""
+    Ks = N if Ks is None else Ks
     buckets, signs = _signed_digits(scalars, W, cfg.c)
     idx = jnp.broadcast_to(jnp.arange(N, dtype=jnp.uint32)[None], (W, N))
     payload = idx | (signs << np.uint32(31))
     sb, sidx = jax.lax.sort((buckets, payload), dimension=1, num_keys=1)
+    if Ks < N:
+        sb = sb[:, N - Ks:]
+        sidx = sidx[:, N - Ks:]
+    return _plan_finish(W, cfg, sb, sidx)
 
+
+def _plan_finish(W, cfg: MSMConfig, sb, sidx):
+    Ks = sb.shape[1]
+    sh = _plan_shapes(Ks, W, cfg)
+    K1, cap1 = sh["K1"], sh["cap1"]
     flags2d, valid = _walk_flags(sb, K1)
     gpos = _compact_positions(valid, cap1)
     vtaken = jnp.take_along_axis(valid, gpos, axis=1)
@@ -727,21 +749,45 @@ def _msm_plan(W, N, cfg: MSMConfig, scalars):
     return sidx, flags2d, gpos, rec_buck
 
 
-def _msm_device(p, W, N, cfg: MSMConfig, P128, scalars, safe: bool, beta=None, fold: bool = False):
+def _msm_plan_split(W, N, cfg: MSMConfig, scalars, w0: int, Ks: int):
+    """Two-group sparse plan. Witness scalar distributions are skewed BY
+    WINDOW: window 0 sees every nonzero value's low digit (dense), while
+    high windows only see multi-digit values (sparse). Split: windows
+    [0, w0) walk all N sorted positions; windows [w0, W) walk only the
+    last Ks (the caller guarantees nnz(w) <= Ks for w >= w0 — exact host
+    count, see groth16._sparse_split). Returns (dense_plan, sparse_plan),
+    either None when its group is empty."""
+    buckets, signs = _signed_digits(scalars, W, cfg.c)
+    idx = jnp.broadcast_to(jnp.arange(N, dtype=jnp.uint32)[None], (W, N))
+    payload = idx | (signs << np.uint32(31))
+    sb, sidx = jax.lax.sort((buckets, payload), dimension=1, num_keys=1)
+    pd = _plan_finish(w0, cfg, sb[:w0], sidx[:w0]) if w0 > 0 else None
+    ps = (
+        _plan_finish(W - w0, cfg, sb[w0:, N - Ks:], sidx[w0:, N - Ks:])
+        if w0 < W
+        else None
+    )
+    return pd, ps
+
+
+def _msm_device(p, W, N, cfg: MSMConfig, P128, scalars, safe: bool, beta=None, fold: bool = False, Ks: int = None):
     """Device part of the sorted MSM (plan + point pipeline fused)."""
-    plan = _msm_plan(W, N, cfg, scalars)
+    plan = _msm_plan(W, N, cfg, scalars, Ks=Ks)
     return _msm_from_plan(p, W, N, cfg, P128, plan, safe, beta=beta, fold=fold)
 
 
 def _msm_from_plan(p, W, N, cfg: MSMConfig, P128, plan, safe: bool, beta=None, fold: bool = False):
     """Point part of the sorted MSM over a precomputed plan. Returns
-    (window sums with window w's Jacobian total, collision flag scalar)."""
+    (window sums with window w's Jacobian total, collision flag scalar).
+    The walked length Ks comes from the plan's shapes (= N for a dense
+    plan, less for a sparse one — see _msm_plan)."""
     nl = field_spec(p).nl if beta is None else 2 * field_spec(p).nl
-    sh = _plan_shapes(N, W, cfg)
+    sidx, flags2d, gpos, rec_buck = plan
+    Ks = sidx.shape[1]
+    sh = _plan_shapes(Ks, W, cfg)
     hb, K1, cap1, cap2 = sh["hb"], sh["K1"], sh["cap1"], sh["cap2"]
     M1, R, lw2 = cfg.M1, cfg.R, cfg.lw2
     M4, L4 = sh["M4"], sh["L4"]
-    sidx, flags2d, gpos, rec_buck = plan
 
     l1 = _walk_call(p, R, M1, K1 // R, "mixed", safe, cfg.interpret, beta)
 
@@ -795,7 +841,7 @@ def _msm_from_plan(p, W, N, cfg: MSMConfig, P128, plan, safe: bool, beta=None, f
     # the table drop corrupted window 0).
     K2 = cap1 // lw2
     assert K2 >= 2, (cap1, lw2)  # K2 == 1 would never shrink the bound
-    bound = min(M1, -(-(N - 1) // K1) + 1)
+    bound = min(M1, -(-(Ks - 1) // K1) + 1)
     recs, rbuck = _merge_level(
         p, recs, rec_buck.reshape(-1), W, cap1, cap2, lw2, R, cfg.interpret, beta
     )
@@ -827,8 +873,21 @@ def _msm_from_plan(p, W, N, cfg: MSMConfig, P128, plan, safe: bool, beta=None, f
     )
     table = jnp.take(recs_pad, ridx, axis=0)
 
-    A = _to_walk(table[: W * hb], M4, L4)
-    B = _to_walk(table[W * hb : 2 * W * hb], M4, L4)
+    # Pallas sublane blocks must divide by 8: when the window count gives
+    # a 3D suffix tail whose sublane axis (S = W * lw2/128) is not a
+    # multiple of 8 (window-split groups like W=30 or 31), pad the table's
+    # window axis with zero rows (Z=0 sums, sliced off after) so the
+    # suffix walk keeps its 8-row blocking and bounded VMEM frame.
+    Wp = W
+    if lw2 % 128 == 0 and (W * (lw2 // 128)) % 8 != 0:
+        Wp = -(-W * (lw2 // 128) // 8) * 8 // (lw2 // 128)
+        t4 = table.reshape(2, W, hb, 3 * nl)
+        t4 = jnp.pad(t4, ((0, 0), (0, Wp - W), (0, 0), (0, 0)))
+        table = t4.reshape(2 * Wp * hb, 3 * nl)
+    M4 = Wp * lw2
+
+    A = _to_walk(table[: Wp * hb], M4, L4)
+    B = _to_walk(table[Wp * hb : 2 * Wp * hb], M4, L4)
     # In-kernel fold epilogue when the layout supports it AND the caller
     # resolved fold=True (hardware only — see _fold_override); otherwise
     # the XLA epilogue (_suffix_post).
@@ -837,11 +896,12 @@ def _msm_from_plan(p, W, N, cfg: MSMConfig, P128, plan, safe: bool, beta=None, f
     out = sfx(A, B)
     if fold:
         gs = lw2 // 128
-        wX = out[0:nl, ::gs, 0].T          # (W, nl): window w at row w*gs
-        wY = out[nl : 2 * nl, ::gs, 0].T
-        wZ = out[2 * nl : 3 * nl, ::gs, 0].T
+        wX = out[0:nl, ::gs, 0].T[:W]      # (W, nl): window w at row w*gs
+        wY = out[nl : 2 * nl, ::gs, 0].T[:W]
+        wZ = out[2 * nl : 3 * nl, ::gs, 0].T[:W]
     else:
-        wX, wY, wZ = _suffix_post(p, W, lw2, L4, out, beta)
+        wX, wY, wZ = _suffix_post(p, Wp, lw2, L4, out, beta)
+        wX, wY, wZ = wX[:W], wY[:W], wZ[:W]
     return (wX, wY, wZ), coll_any
 
 

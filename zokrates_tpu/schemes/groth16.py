@@ -812,23 +812,92 @@ def _jac_to_g2(curve: str, jac) -> PointG2:
     )
 
 
+def _window_nnz(z_limbs: np.ndarray, W: int, c: int) -> List[int]:
+    """Exact per-window nonzero signed-digit counts of the witness.
+    Mirrors kernels/msm_sorted._signed_digits exactly (c | 16 so no digit
+    spans limbs); vectorized numpy, ~1 ms at 2^15."""
+    m, nls = z_limbs.shape
+    mask = np.uint32((1 << c) - 1)
+    half = np.uint32(1 << (c - 1))
+    full = np.uint32(1 << c)
+    carry = np.zeros(m, np.uint32)
+    out = []
+    for w in range(W):
+        limb = (w * c) // 16
+        sh = np.uint32((w * c) % 16)
+        raw = (
+            (z_limbs[:, limb] >> sh) & mask
+            if limb < nls
+            else np.zeros(m, np.uint32)
+        )
+        t = raw + carry
+        neg = t >= half
+        b = np.where(neg, full - t, t)
+        carry = neg.astype(np.uint32)
+        out.append(int(np.count_nonzero(b)))
+    return out
+
+
+_SPLIT_W0S = (0, 1, 2, 3, 4, 6, 8, 12, 16)
+_SPLIT_W1S = (1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64)
+
+
+def _sparse_split(z_limbs: np.ndarray, W: int, cfg, N: int):
+    """Pick the (w0, w1, Ks) window split minimizing walked positions:
+    windows [0, w0) walk all N sorted slots, windows [w0, w1) walk the
+    last Ks >= max nnz, windows [w1, W) have NO nonzero digit at all and
+    are skipped outright (their window sums are the identity, and the
+    combine loop started at w1-1 is exact). Witnesses are mostly bits and
+    small values, so window 0 is dense (every nonzero value's low digit),
+    a few low windows are sparse, and the high windows are empty.
+    Candidates are discrete so compiled program variants stay bounded."""
+    nnz = _window_nnz(z_limbs, W, cfg.c)
+    floor = cfg.M1 * cfg.R
+
+    def tier(mx):
+        return min(N, max(floor, 1 << max(0, mx - 1).bit_length()))
+
+    last = max((w for w in range(W) if nnz[w]), default=0) + 1
+    w1 = next((c for c in _SPLIT_W1S if c >= last), W)
+    w1 = min(w1, W)
+
+    best = (W * N + 1, 0, N)
+    for w0 in _SPLIT_W0S:
+        if w0 > w1:
+            break
+        Ks = tier(max(nnz[w0:w1], default=1))
+        cost = w0 * N + (w1 - w0) * Ks
+        if cost < best[0]:
+            best = (cost, w0, Ks)
+    return best[1], w1, best[2]
+
+
 _FUSED_JIT: Dict = {}
 
 
-def _fused_prove_fn(curve: str, N: int, n: int, W: int, cfg, fold: bool):
+def _fused_prove_fn(curve: str, N: int, n: int, W: int, cfg, fold: bool, w0: int, w1: int, Ks: int):
     """ONE jitted program for the whole prove compute: h pipeline, two
-    sorted-MSM plans (witness + h scalars), the four G1 MSMs as a scan
-    over stacked queries (one traced copy), the G2 MSM, and the dummy
-    corrections. A single dispatch matters doubly on the axon TPU tunnel,
-    where each DEPENDENT jit call costs a ~25-95 ms round trip — the
-    9-call pipeline spent more time on the wire than in the MXU/VPU."""
-    key = (curve, N, n, W, cfg, fold)
+    sorted-MSM plans (witness + h scalars), the three witness G1 MSMs as
+    a scan over stacked queries (one traced copy), the dense h G1 MSM,
+    the G2 MSM, and the dummy corrections. A single dispatch matters
+    doubly on the axon TPU tunnel, where each DEPENDENT jit call costs a
+    ~25-95 ms round trip — the 9-call pipeline spent more time on the
+    wire than in the MXU/VPU.
+
+    (w0, w1, Ks) is the SPARSE window split for the witness plan:
+    windows [0, w0) walk all N sorted positions, windows [w0, w1) walk
+    only the last Ks, windows [w1, W) are empty and skipped — exact
+    because the host counts per-window nonzero signed digits (zkSNARK
+    witnesses are mostly bits and small values). The witness MSM outputs
+    therefore carry only w1 window sums; the host combine starts at
+    window w1-1. The h scalars are uniform, so the h MSM stays dense."""
+    key = (curve, N, n, W, cfg, fold, w0, w1, Ks)
     fn = _FUSED_JIT.get(key)
     if fn is not None:
         return fn
 
     from ..fields.jfield import field_ops
-    from ..kernels.msm_sorted import _msm_from_plan, _msm_plan
+    from ..kernels.msm_sorted import _msm_from_plan, _msm_plan, _msm_plan_split
 
     p = P.SCALAR_FIELDS[curve].p
     q = P.BASE_FIELDS[curve].p
@@ -839,36 +908,64 @@ def _fused_prove_fn(curve: str, N: int, n: int, W: int, cfg, fold: bool):
     chunk = min(N, 1 << 15)  # u32 lazy-sum headroom (16-bit limb terms)
     C = -(-N // chunk)
 
-    def fused(ar, ac, av, br, bc, bv, cr, cc, cv, z_pad, qg1, qb2, corr_w):
+    def z_msm(P128_i, plan_d, plan_s, b):
+        """Witness-scalar MSM over the split plan -> (w1, nl_eff) sums."""
+        parts = []
+        if plan_d is not None:
+            out_d, _ = _msm_from_plan(
+                q, w0, N, cfg, P128_i, plan_d, True, beta=b, fold=fold
+            )
+            parts.append(out_d)
+        if plan_s is not None:
+            out_s, _ = _msm_from_plan(
+                q, w1 - w0, N, cfg, P128_i, plan_s, True, beta=b, fold=fold
+            )
+            parts.append(out_s)
+        return tuple(
+            jnp.concatenate([pt[i] for pt in parts], axis=0) for i in range(3)
+        )
+
+    def fused(ar, ac, av, br, bc, bv, cr, cc, cv, z_pad, qg1, qh, qb2, corr_w):
         h = h_raw(ar, ac, av, br, bc, bv, cr, cc, cv, z_pad)
         h_pad = jnp.pad(h[: n - 1], ((0, N - (n - 1)), (0, 0)))
-        plan_z = _msm_plan(W, N, cfg, z_pad)
+        plan_d, plan_s = _msm_plan_split(w1, N, cfg, z_pad, w0, Ks)
         plan_h = _msm_plan(W, N, cfg, h_pad)
-        plans = jax.tree_util.tree_map(
-            lambda a, b: jnp.stack([a, a, a, b]), plan_z, plan_h
-        )
 
-        def body(carry, xs):
-            P128_i, plan_i = xs
-            (wX, wY, wZ), _ = _msm_from_plan(
-                q, W, N, cfg, P128_i, plan_i, True, beta=None, fold=fold
-            )
-            return carry, (wX, wY, wZ)
+        def body(carry, P128_i):
+            return carry, z_msm(P128_i, plan_d, plan_s, None)
 
-        _, g1outs = jax.lax.scan(body, 0, (qg1, plans))
-        out_b2, _ = _msm_from_plan(
-            q, W, N, cfg, qb2, plan_z, True, beta=beta, fold=fold
+        _, g1outs = jax.lax.scan(body, 0, qg1)
+        out_h, _ = _msm_from_plan(
+            q, W, N, cfg, qh, plan_h, True, beta=None, fold=fold
         )
+        out_b2 = z_msm(qb2, plan_d, plan_s, beta)
 
         zm = f.to_mont_(z_pad)
         prod = f.mul_(corr_w, jnp.broadcast_to(zm[None], corr_w.shape))
         s1 = f.reduce_wide_(jnp.sum(prod.reshape(3, C, chunk, -1), axis=2))
         corr = f.from_mont_(f.reduce_wide_(jnp.sum(s1, axis=1)))
-        return g1outs, out_b2, corr
+        return g1outs, out_h, out_b2, corr
 
     fn = jax.jit(fused)
     _FUSED_JIT[key] = fn
     return fn
+
+
+def _timer():
+    """ZOKRATES_TPU_PROVE_TIMING=1 -> per-stage stderr timings."""
+    if os.environ.get("ZOKRATES_TPU_PROVE_TIMING") != "1":
+        return lambda label: None
+    import sys
+    import time
+
+    state = {"t": time.perf_counter()}
+
+    def mark(label):
+        now = time.perf_counter()
+        print(f"[prove] {label}: {(now - state['t']) * 1e3:.1f} ms", file=sys.stderr)
+        state["t"] = now
+
+    return mark
 
 
 def _accumulators_sorted(curve, pk, dev: R1CSDevice, z_limbs, m, n, ni):
@@ -902,39 +999,50 @@ def _accumulators_sorted(curve, pk, dev: R1CSDevice, z_limbs, m, n, ni):
                 _pad_rows(pk.a_p128, N),
                 _pad_rows(pk.b1_p128, N),
                 _pad_rows(pk.l_p128, N),
-                _pad_rows(pk.h_p128, N),
             ])
         )
+        d["fused_h"] = jnp.asarray(_pad_rows(pk.h_p128, N))
         d["fused_b2"] = jnp.asarray(_pad_rows(pk.b2_p128, N))
         d["fused_corr"] = jnp.asarray(
             np.pad(pk.corr_w, ((0, 0), (0, N - m), (0, 0)))
         )
 
-    z_pad = jnp.asarray(np.pad(np.asarray(z_limbs), ((0, N - m), (0, 0))))
-    fn = _fused_prove_fn(curve, N, n, W, cfg, fold)
-    g1outs, out_b2, corr = fn(
-        *_coo_args(dev), z_pad, d["fused_g1"], d["fused_b2"], d["fused_corr"]
+    mark = _timer()
+    z_np = np.asarray(z_limbs)
+    w0, w1, Ks = _sparse_split(z_np, W, cfg, N)
+    mark("sparse split (host digits)")
+    z_pad = jnp.asarray(np.pad(z_np, ((0, N - m), (0, 0))))
+    mark("z upload")
+    fn = _fused_prove_fn(curve, N, n, W, cfg, fold, w0, w1, Ks)
+    g1outs, out_h, out_b2, corr = fn(
+        *_coo_args(dev), z_pad, d["fused_g1"], d["fused_h"], d["fused_b2"],
+        d["fused_corr"],
     )
+    mark("fused dispatch")
 
     # single sync point: fetch window sums + corrections together
-    g1w, w2, corr_np = jax.device_get((g1outs, out_b2, corr))
+    g1w, wh, w2, corr_np = jax.device_get((g1outs, out_h, out_b2, corr))
+    mark("device wait+fetch")
     ca, cb, cl = limbs_to_ints(np.asarray(corr_np))
 
     g1 = g1_group(curve).generator()
     g2 = g2grp.generator()
 
     def g1_res(i):
+        # witness MSM sums stop at w1 (empty top windows contribute the
+        # identity; starting the combine at w1-1 is exact)
         return _jac_to_g1(
-            curve, combine_windows(q, p, (g1w[0][i], g1w[1][i], g1w[2][i]), W, cfg)
+            curve, combine_windows(q, p, (g1w[0][i], g1w[1][i], g1w[2][i]), w1, cfg)
         )
 
     a_acc = g1_res(0) - g1 * ca
     b1_acc = g1_res(1) - g1 * cb
     l_acc = g1_res(2) - g1 * cl
-    h_acc = g1_res(3)
+    h_acc = _jac_to_g1(curve, combine_windows(q, p, wh, W, cfg))
     b2_acc = _jac_to_g2(
-        curve, combine_windows(q, p, w2, W, cfg, beta=beta)
+        curve, combine_windows(q, p, w2, w1, cfg, beta=beta)
     ) - g2 * cb
+    mark("host combine+corr")
     return a_acc, b1_acc, b2_acc, l_acc, h_acc
 
 
@@ -944,6 +1052,7 @@ def prove(r1cs: R1CS, pk: ProvingKey, witness: Witness, rng=None) -> Proof:
     rand = rng or (lambda: secrets.randbelow(p))
     g1grp = g1_group(curve)
 
+    mark = _timer()
     z = [v % p for v in r1cs.full_assignment(witness)]
     n = pk.domain_size
     ni = pk.num_instance
@@ -951,6 +1060,7 @@ def prove(r1cs: R1CS, pk: ProvingKey, witness: Witness, rng=None) -> Proof:
     nls = n_limbs(p)
 
     z_limbs = ints_to_limbs(z, nls)
+    mark("witness host prep")
 
     dev = _r1cs_device(r1cs, n)
 
@@ -960,6 +1070,7 @@ def prove(r1cs: R1CS, pk: ProvingKey, witness: Witness, rng=None) -> Proof:
         a_acc, b1_acc, b2_acc, l_acc, h_acc = _accumulators_sorted(
             curve, pk, dev, z_limbs, m, n, ni
         )
+        mark("accumulators")
     else:
         # XLA Pippenger path (CPU tests): masks zero the dummy-slot scalars
         z_can = jnp.asarray(z_limbs)
@@ -994,7 +1105,7 @@ def prove(r1cs: R1CS, pk: ProvingKey, witness: Witness, rng=None) -> Proof:
     C = l_acc + h_acc + A * s + B1 * r - delta_g1 * rs
 
     inputs = [fr_to_json(z[i], curve) for i in range(1, ni)]
-    return Proof(
+    proof = Proof(
         "g16",
         curve,
         {
@@ -1004,6 +1115,8 @@ def prove(r1cs: R1CS, pk: ProvingKey, witness: Witness, rng=None) -> Proof:
         },
         inputs,
     )
+    mark("randomize+json tail")
+    return proof
 
 
 # ---------------------------------------------------------------------------

@@ -177,6 +177,52 @@ def jac2_mul(p: int, beta: int, P: JacG2, k: int) -> JacG2:
     return acc
 
 
+def comb_table_g1(p: int, aff, c: int = 4, windows: int = 64):
+    """Fixed-base comb table: table[j][d] = d * 2^(c*j) * P (Jacobian).
+    A k-bit scalar mult is then `windows` adds and NO doublings."""
+    base = (aff[0], aff[1], 1)
+    tbl = []
+    for _ in range(windows):
+        row = [INF1]
+        for d in range(1, 1 << c):
+            row.append(jac_add(p, row[d - 1], base))
+        tbl.append(row)
+        for _ in range(c):
+            base = jac_double(p, base)
+    return tbl
+
+
+def comb_mul_g1(p: int, tbl, k: int, c: int = 4) -> JacG1:
+    acc = INF1
+    for j, row in enumerate(tbl):
+        d = (k >> (c * j)) & ((1 << c) - 1)
+        if d:
+            acc = jac_add(p, acc, row[d])
+    return acc
+
+
+def comb_table_g2(p: int, beta: int, aff, c: int = 4, windows: int = 64):
+    base = (aff[0], aff[1], (1, 0))
+    tbl = []
+    for _ in range(windows):
+        row = [INF2]
+        for d in range(1, 1 << c):
+            row.append(jac2_add(p, beta, row[d - 1], base))
+        tbl.append(row)
+        for _ in range(c):
+            base = jac2_double(p, beta, base)
+    return tbl
+
+
+def comb_mul_g2(p: int, beta: int, tbl, k: int, c: int = 4) -> JacG2:
+    acc = INF2
+    for j, row in enumerate(tbl):
+        d = (k >> (c * j)) & ((1 << c) - 1)
+        if d:
+            acc = jac2_add(p, beta, acc, row[d])
+    return acc
+
+
 def jac2_to_affine(p: int, beta: int, P: JacG2):
     X, Y, Z = P
     if Z == (0, 0):

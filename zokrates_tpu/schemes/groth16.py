@@ -785,6 +785,56 @@ def _corr_stage(curve: str, N: int):
     return fn
 
 
+_COMB_CACHE: Dict = {}
+
+
+def _fb_mul_g1(pt: PointG1, k: int) -> PointG1:
+    """Fixed-base scalar mult with a cached comb table (64 adds, no
+    doublings) — the prove tail multiplies the same delta/generator
+    points every proof."""
+    from ..ec.jacobian import comb_mul_g1, comb_table_g1, jac_to_affine
+
+    if pt.infinity:
+        return pt
+    q = pt.curve.q
+    k = int(k) % pt.curve.r
+    key = ("g1", q, pt.x, pt.y)
+    tbl = _COMB_CACHE.get(key)
+    if tbl is None:
+        tbl = comb_table_g1(q, (pt.x, pt.y))
+        _COMB_CACHE[key] = tbl
+    aff = jac_to_affine(q, comb_mul_g1(q, tbl, k))
+    if aff is None:
+        return PointG1(pt.curve, None, None)
+    return PointG1(pt.curve, aff[0], aff[1])
+
+
+def _fb_mul_g2(pt: PointG2, k: int) -> PointG2:
+    from ..ec.jacobian import comb_mul_g2, comb_table_g2, jac2_to_affine
+    from ..ec.tower import Fq2
+
+    if pt.infinity or not hasattr(pt.x, "c0"):
+        return pt * int(k)
+    q = pt.curve.q
+    beta = pt.x.ctx.beta
+    k = int(k) % pt.curve.r
+    key = ("g2", q, pt.x.c0, pt.x.c1, pt.y.c0, pt.y.c1)
+    tbl = _COMB_CACHE.get(key)
+    if tbl is None:
+        tbl = comb_table_g2(
+            q, beta, ((pt.x.c0, pt.x.c1), (pt.y.c0, pt.y.c1))
+        )
+        _COMB_CACHE[key] = tbl
+    aff = jac2_to_affine(q, beta, comb_mul_g2(q, beta, tbl, k))
+    if aff is None:
+        return PointG2(pt.curve, None, None)
+    return PointG2(
+        pt.curve,
+        Fq2(pt.x.ctx, aff[0][0], aff[0][1]),
+        Fq2(pt.x.ctx, aff[1][0], aff[1][1]),
+    )
+
+
 def _jac_to_g1(curve: str, jac) -> PointG1:
     grp = g1_group(curve)
     jx, jy, jz = jac
@@ -1035,13 +1085,13 @@ def _accumulators_sorted(curve, pk, dev: R1CSDevice, z_limbs, m, n, ni):
             curve, combine_windows(q, p, (g1w[0][i], g1w[1][i], g1w[2][i]), w1, cfg)
         )
 
-    a_acc = g1_res(0) - g1 * ca
-    b1_acc = g1_res(1) - g1 * cb
-    l_acc = g1_res(2) - g1 * cl
+    a_acc = g1_res(0) - _fb_mul_g1(g1, ca)
+    b1_acc = g1_res(1) - _fb_mul_g1(g1, cb)
+    l_acc = g1_res(2) - _fb_mul_g1(g1, cl)
     h_acc = _jac_to_g1(curve, combine_windows(q, p, wh, W, cfg))
     b2_acc = _jac_to_g2(
         curve, combine_windows(q, p, w2, w1, cfg, beta=beta)
-    ) - g2 * cb
+    ) - _fb_mul_g2(g2, cb)
     mark("host combine+corr")
     return a_acc, b1_acc, b2_acc, l_acc, h_acc
 
@@ -1097,12 +1147,12 @@ def prove(r1cs: R1CS, pk: ProvingKey, witness: Witness, rng=None) -> Proof:
 
     delta_g1 = pk.delta_g1
 
-    A = pk.alpha_g1 + a_acc + delta_g1 * r
-    B1 = pk.beta_g1 + b1_acc + delta_g1 * s
-    B2 = pk.beta_g2 + b2_acc + pk.delta_g2 * s
+    A = pk.alpha_g1 + a_acc + _fb_mul_g1(delta_g1, r)
+    B1 = pk.beta_g1 + b1_acc + _fb_mul_g1(delta_g1, s)
+    B2 = pk.beta_g2 + b2_acc + _fb_mul_g2(pk.delta_g2, s)
 
     rs = r * s % p
-    C = l_acc + h_acc + A * s + B1 * r - delta_g1 * rs
+    C = l_acc + h_acc + A * s + B1 * r - _fb_mul_g1(delta_g1, rs)
 
     inputs = [fr_to_json(z[i], curve) for i in range(1, ni)]
     proof = Proof(
@@ -1259,10 +1309,10 @@ def prove_batch(
         l_acc, h_acc = to_g1(l_aff[b]), to_g1(h_aff[b])
         b2_acc = to_g2(b2_aff[b])
         delta_g1 = pk.delta_g1
-        A = pk.alpha_g1 + a_acc + delta_g1 * r
-        B1 = pk.beta_g1 + b1_acc + delta_g1 * s
-        B2 = pk.beta_g2 + b2_acc + pk.delta_g2 * s
-        C = l_acc + h_acc + A * s + B1 * r - delta_g1 * (r * s % p)
+        A = pk.alpha_g1 + a_acc + _fb_mul_g1(delta_g1, r)
+        B1 = pk.beta_g1 + b1_acc + _fb_mul_g1(delta_g1, s)
+        B2 = pk.beta_g2 + b2_acc + _fb_mul_g2(pk.delta_g2, s)
+        C = l_acc + h_acc + A * s + B1 * r - _fb_mul_g1(delta_g1, r * s % p)
         inputs = [fr_to_json(zs[b][i], curve) for i in range(1, ni)]
         proofs.append(
             Proof(

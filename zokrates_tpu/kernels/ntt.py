@@ -28,7 +28,7 @@ import numpy as np
 
 from ..fields import params as P
 from ..fields.jfield import field_ops
-from ..fields.limbs import ints_to_limbs
+from ..fields.limbs import LIMB_BITS, ints_to_limbs
 
 
 class Domain:
@@ -106,21 +106,28 @@ class Domain:
         return f.mul_(x, self.n_inv_mont)
 
     # -- coset transforms (for h(X) = (AB - C)/Z on a coset) ---------------
-    @lru_cache(maxsize=4)
+    @lru_cache(maxsize=None)
     def _coset_powers(self, g: int):
+        """Montgomery limb table of [g^0 .. g^(n-1)], computed ENTIRELY on
+        the host: the cached value is always a concrete array, so hitting
+        (or repopulating) this cache inside a jit trace is safe. An
+        earlier version encoded via device ops with a 4-entry cache —
+        eviction repopulated it mid-trace and cached a tracer, poisoning
+        later traces (UnexpectedTracerError in unrelated proves)."""
+        rr = pow(2, LIMB_BITS * self.ops.nl, self.p)  # Montgomery factor
         powers, acc = [], 1
         for _ in range(self.n):
-            powers.append(acc)
+            powers.append(acc * rr % self.p)
             acc = acc * g % self.p
-        return self.ops.encode(powers)
+        return jnp.asarray(ints_to_limbs(powers, self.ops.nl))
 
-    @lru_cache(maxsize=4)
+    @lru_cache(maxsize=None)
     def _coset_powers_inv(self, g: int):
         return self._coset_powers(pow(g, -1, self.p))
 
     def warm_coset(self, g: int):
-        """Populate the coset-power caches OUTSIDE any jit trace (lru_cache
-        + jit tracing = leaked tracers otherwise)."""
+        """Pre-populate the coset-power caches (now merely an optimization
+        — the tables are host-computed and trace-safe either way)."""
         self._coset_powers(g)
         self._coset_powers_inv(g)
 

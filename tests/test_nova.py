@@ -117,9 +117,9 @@ class TestNovaCompress:
         proof = nova.prove(prog, r1cs, params, [3], num_steps=3)
         cproof = nova.compress(r1cs, params, proof)
         assert nova.verify_compressed(r1cs, params, cproof)
-        # zk: the published opening is the blinded accumulator, not the
-        # resumable prover state
-        assert cproof.W_f != proof.final_W
+        # succinct: no witness vectors ship with the compressed proof
+        assert not hasattr(cproof, "W_f") and not hasattr(cproof, "E_f")
+        assert len(cproof.sc1) and len(cproof.sc2)
 
     def test_compress_tamper_fails(self):
         prog = square_step_prog()
@@ -130,7 +130,20 @@ class TestNovaCompress:
         from zokrates_tpu.fields import params as P
 
         p = P.SCALAR_FIELDS["pallas"].p
-        cproof.W_f[0] = (cproof.W_f[0] + 1) % p
+        cproof.ipa_w.w0 = (cproof.ipa_w.w0 + 1) % p
+        assert not nova.verify_compressed(r1cs, params, cproof)
+
+    def test_compress_tampered_eval_fails(self):
+        prog = square_step_prog()
+        r1cs = r1cs_from_prog(prog)
+        params = nova.setup(prog, r1cs)
+        proof = nova.prove(prog, r1cs, params, [2], num_steps=2)
+        cproof = nova.compress(r1cs, params, proof)
+        from zokrates_tpu.fields import params as P
+
+        p = P.SCALAR_FIELDS["pallas"].p
+        vA, vB, vC, vE = cproof.evals
+        cproof.evals = ((vA + 1) % p, vB, vC, vE)
         assert not nova.verify_compressed(r1cs, params, cproof)
 
     def test_compress_tampered_state_fails(self):

@@ -133,8 +133,12 @@ class NovaParams:
     num_constraints: int
     arg_pos: List[int]     # dense indices (within x = z[1:ni]) of the step args
     out_pos: List[int]     # dense indices (within x) of the step returns
+    # commitment keys are padded to powers of two: ck_w to the z-cube
+    # half-width (>= max(ni, nw)) and ck_e to the padded row count, so the
+    # compress argument's inner-product openings run over full cubes
     ck_w: List[Tuple[int, int]]
     ck_e: List[Tuple[int, int]]
+    ck_q: Tuple[int, int] = (0, 0)  # extra IPA base
 
 
 @dataclass
@@ -182,16 +186,21 @@ class BlindRecord:
 
 @dataclass
 class CompressedNovaProof:
-    """ZK-finalized IVC proof (the `compress` output, nova.rs:124-143).
+    """ZK-finalized, witness-free IVC proof (the `compress` output —
+    reference CompressedSNARK, zokrates_bellperson/src/nova.rs:124-143).
 
-    The folded accumulator witness is blinded by one extra fold with a
-    uniformly random relaxed pair before being revealed: W_f = W + r·W_r
-    is uniform, so the published opening leaks nothing about the real
-    witness (honest-verifier zk in the random-oracle model). Divergence
-    from the reference (documented): the Spartan argument that would also
-    make the proof *succinct* is not implemented — this proof stays
-    O(|W|) in size, but is zero-knowledge and drops the per-step folded
-    accumulator of the resumable prover-state form."""
+    Construction: (1) one extra fold with a uniformly random satisfying
+    relaxed pair blinds the accumulator (W_f = W + r*W_r is uniform, so
+    nothing the argument later reveals about W_f leaks the real witness);
+    (2) a Spartan-style two-phase sumcheck reduces the relaxed-R1CS check
+    Az o Bz = u*Cz + E over the blinded accumulator to evaluations of the
+    committed vectors' MLEs, proven against the (homomorphically folded)
+    Pedersen commitments with Bulletproofs inner-product arguments. The
+    proof carries NO witness vectors — O(steps) step instances plus
+    O(log n) sumcheck/IPA messages. Divergence from the reference
+    (documented): nova_snark's compressed verifier is O(log n) after
+    preprocessing; ours evaluates the (public) matrix MLEs itself, an
+    O(nnz) field-work verifier with the same proof-size asymptotics."""
 
     curve: str
     num_steps: int
@@ -199,8 +208,12 @@ class CompressedNovaProof:
     zN: List[int]
     steps: List[StepRecord]
     blind: BlindRecord
-    W_f: List[int]
-    E_f: List[int]
+    sc1: List[List[int]]           # round polys (deg-3 evals) of sumcheck 1
+    evals: Tuple[int, int, int, int]  # vA, vB, vC, vE at ry
+    sc2: List[List[int]]           # round polys (deg-2 evals) of sumcheck 2
+    vZ: int                        # z-cube MLE at rx
+    ipa_w: object                  # IpaProof opening <W, eq(rx, half+.)>
+    ipa_e: object                  # IpaProof opening <E, eq(ry, .)>
 
 
 class NovaError(ValueError):
@@ -232,9 +245,15 @@ def _state_positions(prog: Prog, r1cs: R1CS) -> Tuple[List[int], List[int]]:
     return arg_pos, out_pos
 
 
+def _pow2(n: int) -> int:
+    return 1 << max(0, (max(n, 1) - 1).bit_length())
+
+
 def setup(prog: Prog, r1cs: R1CS) -> NovaParams:
     arg_pos, out_pos = _state_positions(prog, r1cs)
     curve = r1cs.curve
+    n_half = max(_pow2(r1cs.num_instance), _pow2(r1cs.num_witness), 2)
+    nc2 = max(_pow2(r1cs.num_constraints), 2)
     return NovaParams(
         curve=curve,
         num_instance=r1cs.num_instance,
@@ -242,8 +261,9 @@ def setup(prog: Prog, r1cs: R1CS) -> NovaParams:
         num_constraints=r1cs.num_constraints,
         arg_pos=arg_pos,
         out_pos=out_pos,
-        ck_w=_hash_to_curve(curve, b"W", max(r1cs.num_witness, 1)),
-        ck_e=_hash_to_curve(curve, b"E", max(r1cs.num_constraints, 1)),
+        ck_w=_hash_to_curve(curve, b"W", n_half),
+        ck_e=_hash_to_curve(curve, b"E", nc2),
+        ck_q=_hash_to_curve(curve, b"Q", 1)[0],
     )
 
 
@@ -505,6 +525,12 @@ def compress(r1cs: R1CS, params: NovaParams, proof: NovaProof) -> CompressedNova
         (e + r * t + r * r * er) % p
         for e, t, er in zip(acc_W.E, T, E_r)
     ]
+    u_f = (acc_U.u + r * u_r) % p
+    x_f = [(a + r * v) % p for a, v in zip(acc_U.x, x_r)]
+
+    sc1, evals, sc2, vZ, ipa_w, ipa_e = _spartan_prove(
+        r1cs, params, tr, u_f, x_f, W_f, E_f
+    )
 
     def xy(pt: PointG1) -> Tuple[int, int]:
         return (pt.x, pt.y) if pt.x is not None else (0, 0)
@@ -518,9 +544,82 @@ def compress(r1cs: R1CS, params: NovaParams, proof: NovaProof) -> CompressedNova
         blind=BlindRecord(
             u=u_r, x=x_r, com_w=xy(com_w_r), com_e=xy(com_e_r), com_t=xy(com_t)
         ),
-        W_f=W_f,
-        E_f=E_f,
+        sc1=sc1,
+        evals=evals,
+        sc2=sc2,
+        vZ=vZ,
+        ipa_w=ipa_w,
+        ipa_e=ipa_e,
     )
+
+
+def _zcube_pos(j: int, ni: int, n_half: int) -> int:
+    """Dense z index ([u] + x + W) -> position in the 2*n_half cube
+    (public block in the low half, witness block in the high half)."""
+    return j if j < ni else n_half + (j - ni)
+
+
+def _spartan_prove(r1cs: R1CS, params: NovaParams, tr, u_f, x_f, W_f, E_f):
+    """Two-phase Spartan sumcheck + IPA openings for the blinded folded
+    relaxed instance. Shares `tr` (already past the blind-fold squeeze)
+    with the verifier replay."""
+    from .ipa import ipa_prove
+    from .sumcheck import eq_table, sumcheck_prove
+
+    curve = r1cs.curve
+    p = P.SCALAR_FIELDS[curve].p
+    q = P.BASE_FIELDS[curve].p
+    ni = r1cs.num_instance
+    n_half = len(params.ck_w)
+    nc2 = len(params.ck_e)
+    lc = nc2.bit_length() - 1
+    lz = (2 * n_half).bit_length() - 1
+
+    z_f = _zvec(u_f, x_f, W_f)
+    az, bz, cz = (_mat_vec(m, z_f, p) for m in (r1cs.A, r1cs.B, r1cs.C))
+    pad = nc2 - len(az)
+    az, bz, cz = az + [0] * pad, bz + [0] * pad, cz + [0] * pad
+    e_pad = list(E_f) + [0] * (nc2 - len(E_f))
+
+    tau = [tr.squeeze(p) for _ in range(lc)]
+    eqt = eq_table(tau, p)
+
+    def comb1(e, a, b, c, ee):
+        return e * ((a * b - u_f * c - ee) % p) % p
+
+    sc1, ry, fin1 = sumcheck_prove(tr, p, [eqt, az, bz, cz, e_pad], comb1, 3)
+    vA, vB, vC, vE = fin1[1], fin1[2], fin1[3], fin1[4]
+    for v in (vA, vB, vC, vE):
+        tr.absorb_int(v)
+    rho = [tr.squeeze(p) for _ in range(3)]
+
+    eq_ry = eq_table(ry, p)
+    mvec = [0] * (2 * n_half)
+    for mat, rh in zip((r1cs.A, r1cs.B, r1cs.C), rho):
+        for i, row in enumerate(mat):
+            w = rh * eq_ry[i] % p
+            for j, coef in row:
+                pos = _zcube_pos(j, ni, n_half)
+                mvec[pos] = (mvec[pos] + w * coef) % p
+    zcube = (
+        [u_f] + list(x_f) + [0] * (n_half - ni)
+        + list(W_f) + [0] * (n_half - len(W_f))
+    )
+
+    sc2, rx, fin2 = sumcheck_prove(
+        tr, p, [mvec, zcube], lambda m, z: m * z % p, 2
+    )
+    vZ = fin2[1]
+    tr.absorb_int(vZ)
+
+    from .sumcheck import eq_table as _eqt
+
+    eq_rx = _eqt(rx, p)
+    c_w = eq_rx[n_half:]
+    w_pad = list(W_f) + [0] * (n_half - len(W_f))
+    ipa_w = ipa_prove(tr, p, q, params.ck_w, params.ck_q, w_pad, c_w)
+    ipa_e = ipa_prove(tr, p, q, params.ck_e, params.ck_q, e_pad, eq_ry)
+    return sc1, (vA, vB, vC, vE), sc2, vZ, ipa_w, ipa_e
 
 
 def verify_compressed(
@@ -564,16 +663,76 @@ def verify_compressed(
     com_w_f = acc_U.com_w + com_w_r * r
     com_e_f = acc_U.com_e + com_t * r + com_e_r * (r * r % p)
 
-    com_w = _commit(curve, params.ck_w, proof.W_f)
-    com_e = _commit(curve, params.ck_e, proof.E_f)
-    if (com_w.x, com_w.y) != (com_w_f.x, com_w_f.y):
-        return False
-    if (com_e.x, com_e.y) != (com_e_f.x, com_e_f.y):
+    return _spartan_verify(
+        r1cs, params, tr, u_f, x_f, com_w_f, com_e_f, proof
+    )
+
+
+def _spartan_verify(
+    r1cs: R1CS, params: NovaParams, tr, u_f, x_f, com_w_f, com_e_f,
+    proof: CompressedNovaProof,
+) -> bool:
+    from .ipa import ipa_verify
+    from .sumcheck import eq_point, eq_table, sumcheck_verify
+
+    curve = r1cs.curve
+    p = P.SCALAR_FIELDS[curve].p
+    q = P.BASE_FIELDS[curve].p
+    ni = r1cs.num_instance
+    n_half = len(params.ck_w)
+    nc2 = len(params.ck_e)
+    lc = nc2.bit_length() - 1
+    lz = (2 * n_half).bit_length() - 1
+    if len(proof.sc1) != lc or len(proof.sc2) != lz:
         return False
 
-    z = _zvec(u_f, x_f, proof.W_f)
-    az, bz, cz = (_mat_vec(m, z, p) for m in (r1cs.A, r1cs.B, r1cs.C))
-    return all(
-        a * bb % p == (u_f * c + e) % p
-        for a, bb, c, e in zip(az, bz, cz, proof.E_f)
+    tau = [tr.squeeze(p) for _ in range(lc)]
+    out1 = sumcheck_verify(tr, p, 0, proof.sc1, 3)
+    if out1 is None:
+        return False
+    ry, claim1 = out1
+    vA, vB, vC, vE = (v % p for v in proof.evals)
+    if claim1 != eq_point(tau, ry, p) * ((vA * vB - u_f * vC - vE) % p) % p:
+        return False
+    for v in (vA, vB, vC, vE):
+        tr.absorb_int(v)
+    rho = [tr.squeeze(p) for _ in range(3)]
+
+    out2 = sumcheck_verify(
+        tr, p, (rho[0] * vA + rho[1] * vB + rho[2] * vC) % p, proof.sc2, 2
+    )
+    if out2 is None:
+        return False
+    rx, claim2 = out2
+    vZ = proof.vZ % p
+    tr.absorb_int(vZ)
+
+    # the verifier evaluates the (public) combined matrix MLE itself
+    eq_ry = eq_table(ry, p)
+    eq_rx = eq_table(rx, p)
+    m_eval = 0
+    for mat, rh in zip((r1cs.A, r1cs.B, r1cs.C), rho):
+        for i, row in enumerate(mat):
+            w = rh * eq_ry[i] % p
+            for j, coef in row:
+                m_eval = (m_eval + w * coef % p * eq_rx[_zcube_pos(j, ni, n_half)]) % p
+    if claim2 != m_eval * vZ % p:
+        return False
+
+    # split vZ into its public part and the committed-witness opening
+    z_pub = [u_f] + list(x_f)
+    pub = sum(v * eq_rx[j] for j, v in enumerate(z_pub)) % p
+    vW = (vZ - pub) % p
+
+    def xy(pt):
+        return (pt.x, pt.y) if pt.x is not None else (0, 0)
+
+    if not ipa_verify(
+        tr, p, q, params.ck_w, params.ck_q, xy(com_w_f),
+        eq_rx[n_half:], vW, proof.ipa_w,
+    ):
+        return False
+    return ipa_verify(
+        tr, p, q, params.ck_e, params.ck_q, xy(com_e_f),
+        eq_ry, vE, proof.ipa_e,
     )

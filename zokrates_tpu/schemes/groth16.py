@@ -620,20 +620,19 @@ def _h_stage(curve: str, n: int):
 
     import jax.ops
 
-    def matvec(rows, cols, coeff, z_mont):
-        vals = f.mul_(coeff, jnp.take(z_mont, cols, axis=0))
-        sums = jax.ops.segment_sum(
-            vals, rows, num_segments=n, indices_are_sorted=True
-        )
-        return f.reduce_wide_(sums)
-
     def pipeline(ar, ac, av, br, bc, bv, cr, cc, cv, z_can):
         z_mont = f.to_mont_(z_can)
-        abc_e = jnp.stack([
-            matvec(ar, ac, av, z_mont),
-            matvec(br, bc, bv, z_mont),
-            matvec(cr, cc, cv, z_mont),
-        ])
+        # one fused 3-matrix matvec: rows offset into disjoint segment
+        # blocks (each block's rows stay sorted, so the concatenation is
+        # sorted too) -> single gather + mul + segment_sum
+        rows_all = jnp.concatenate([ar, br + n, cr + 2 * n])
+        cols_all = jnp.concatenate([ac, bc, cc])
+        coeff_all = jnp.concatenate([av, bv, cv])
+        vals = f.mul_(coeff_all, jnp.take(z_mont, cols_all, axis=0))
+        sums = jax.ops.segment_sum(
+            vals, rows_all, num_segments=3 * n, indices_are_sorted=True
+        )
+        abc_e = f.reduce_wide_(sums).reshape(3, n, -1)
         # one batched iNTT + coset NTT over the (3, n, nl) stack — the NTT
         # core broadcasts over leading axes, so the 6 transforms cost two
         # passes of stage ops instead of six

@@ -1110,7 +1110,20 @@ def msm_sorted_host(p, r_mod, P128, scalars, cfg: MSMConfig | None = None, max_b
 
 
 def combine_windows(p, r_mod, wXYZ, W: int, cfg: MSMConfig, beta=None):
-    """Window sums ((W, nl) Montgomery arrays) -> host Jacobian ints."""
+    """Window sums ((W, nl) Montgomery arrays) -> host Jacobian ints.
+
+    Dispatches to the native C combine (zokrates_tpu/native) when
+    available — W*c Jacobian doublings of Python bigint math cost ~1-3 ms
+    per MSM, ~30 us in C. The Python loop below is the fallback and the
+    cross-check oracle (tests run both)."""
+    from ..native import field_for as _native_field
+
+    nf = _native_field(p, beta)
+    if nf is not None:
+        wX, wY, wZ = (np.asarray(a) for a in wXYZ)
+        if beta is not None:
+            return nf.combine_windows2(wX[:W], wY[:W], wZ[:W], W, cfg.c)
+        return nf.combine_windows(wX[:W], wY[:W], wZ[:W], W, cfg.c)
     spec = field_spec(p)
     rinv = pow(spec.r, -1, p)
     wX, wY, wZ = (np.asarray(a) for a in wXYZ)

@@ -78,8 +78,25 @@ class Domain:
         return tws
 
     # -- transforms --------------------------------------------------------
+    def _use_pallas(self) -> bool:
+        """Whole-transform Pallas kernel (ntt_pallas.py) on TPU for domains
+        >= 1024 (the (S, 128) layout needs S >= 8); ZOKRATES_TPU_NTT=xla
+        forces the stage-by-stage XLA path (cross-check knob)."""
+        import os
+
+        mode = os.environ.get("ZOKRATES_TPU_NTT", "auto")
+        if mode == "xla":
+            return False
+        if mode == "pallas":
+            return True
+        return self.n >= 1024 and jax.default_backend() == "tpu"
+
     def _fft_core(self, x: jnp.ndarray, twiddles) -> jnp.ndarray:
         """x: (..., n, nl) Montgomery limbs -> transformed, natural order."""
+        if self._use_pallas():
+            from .ntt_pallas import fft_core_pallas
+
+            return fft_core_pallas(self, x, inverse=twiddles is self._tw_inv)
         f = self.ops
         n = self.n
         lead = x.shape[:-2]

@@ -602,7 +602,13 @@ _H_RAW: Dict = {}
 def _h_stage(curve: str, n: int):
     """Jitted z -> h(X) canonical limbs: to_mont, 3 sparse matvecs, QAP
     coset-NTT division, from_mont. COO arrays are runtime args (not baked
-    constants) so one executable serves every circuit of domain size n."""
+    constants) so one executable serves every circuit of domain size n.
+
+    The raw pipeline (_H_RAW) is BATCHED: z (B, m, nl) -> h (B, n, nl),
+    with all 6B iNTT/coset-NTT transforms flattened into ONE stacked
+    transform call (on TPU a single whole-transform Pallas kernel,
+    kernels/ntt_pallas.py) — B proofs cost one op per stage, not B.
+    The public _h_stage callable keeps the single-z signature."""
     key = (curve, n)
     fn = _H_JIT.get(key)
     if fn is not None:
@@ -620,30 +626,36 @@ def _h_stage(curve: str, n: int):
 
     import jax.ops
 
-    def pipeline(ar, ac, av, br, bc, bv, cr, cc, cv, z_can):
-        z_mont = f.to_mont_(z_can)
+    def pipeline(ar, ac, av, br, bc, bv, cr, cc, cv, Z):
+        B = Z.shape[0]
+        Z_mont = f.to_mont_(Z)
         # one fused 3-matrix matvec: rows offset into disjoint segment
         # blocks (each block's rows stay sorted, so the concatenation is
-        # sorted too) -> single gather + mul + segment_sum
+        # sorted too) -> single gather + mul + segment_sum, vmapped over
+        # the proof batch
         rows_all = jnp.concatenate([ar, br + n, cr + 2 * n])
         cols_all = jnp.concatenate([ac, bc, cc])
         coeff_all = jnp.concatenate([av, bv, cv])
-        vals = f.mul_(coeff_all, jnp.take(z_mont, cols_all, axis=0))
-        sums = jax.ops.segment_sum(
-            vals, rows_all, num_segments=3 * n, indices_are_sorted=True
-        )
-        abc_e = f.reduce_wide_(sums).reshape(3, n, -1)
-        # one batched iNTT + coset NTT over the (3, n, nl) stack — the NTT
-        # core broadcasts over leading axes, so the 6 transforms cost two
-        # passes of stage ops instead of six
-        abc_cs = dom.coset_fft(dom.ifft(abc_e), g)
+        vals = f.mul_(coeff_all[None], jnp.take(Z_mont, cols_all, axis=1))
+        sums = jax.vmap(
+            lambda v: jax.ops.segment_sum(
+                v, rows_all, num_segments=3 * n, indices_are_sorted=True
+            )
+        )(vals)
+        abc_e = f.reduce_wide_(sums).reshape(B * 3, n, -1)
+        # ONE stacked iNTT + coset NTT over all 3B polynomials
+        abc_cs = dom.coset_fft(dom.ifft(abc_e), g).reshape(B, 3, n, -1)
         h_cs = f.mul_(
-            f.sub_(f.mul_(abc_cs[0], abc_cs[1]), abc_cs[2]), zinv_mont
+            f.sub_(f.mul_(abc_cs[:, 0], abc_cs[:, 1]), abc_cs[:, 2]),
+            zinv_mont,
         )
         h = dom.coset_ifft(h_cs, g)
         return f.from_mont_(h)
 
-    fn = jax.jit(pipeline)
+    def pipeline_single(ar, ac, av, br, bc, bv, cr, cc, cv, z_can):
+        return pipeline(ar, ac, av, br, bc, bv, cr, cc, cv, z_can[None])[0]
+
+    fn = jax.jit(pipeline_single)
     _H_RAW[key] = pipeline
     _H_JIT[key] = fn
     return fn
@@ -900,7 +912,10 @@ def _sparse_split(z_limbs: np.ndarray, W: int, cfg, N: int):
     small values, so window 0 is dense (every nonzero value's low digit),
     a few low windows are sparse, and the high windows are empty.
     Candidates are discrete so compiled program variants stay bounded."""
-    nnz = _window_nnz(z_limbs, W, cfg.c)
+    return _split_from_nnz(_window_nnz(z_limbs, W, cfg.c), W, cfg, N)
+
+
+def _split_from_nnz(nnz, W: int, cfg, N: int):
     floor = cfg.M1 * cfg.R
 
     def tier(mx):
@@ -975,7 +990,7 @@ def _fused_prove_fn(curve: str, N: int, n: int, W: int, cfg, fold: bool, w0: int
         )
 
     def fused(ar, ac, av, br, bc, bv, cr, cc, cv, z_pad, qg1, qh, qb2, corr_w):
-        h = h_raw(ar, ac, av, br, bc, bv, cr, cc, cv, z_pad)
+        h = h_raw(ar, ac, av, br, bc, bv, cr, cc, cv, z_pad[None])[0]
         h_pad = jnp.pad(h[: n - 1], ((0, N - (n - 1)), (0, 0)))
         plan_d, plan_s = _msm_plan_split(w1, N, cfg, z_pad, w0, Ks)
         plan_h = _msm_plan(W, N, cfg, h_pad)
@@ -1000,6 +1015,95 @@ def _fused_prove_fn(curve: str, N: int, n: int, W: int, cfg, fold: bool, w0: int
     return fn
 
 
+_FUSED_BATCH_JIT: Dict = {}
+
+
+def _fused_prove_batch_fn(
+    curve: str, N: int, n: int, W: int, cfg, fold: bool, w0: int, w1: int,
+    Ks: int, B: int,
+):
+    """Batched fused prove program: B witnesses of one circuit in ONE
+    device dispatch (the multi-proof batch axis, SURVEY §2.5 row 4).
+
+    Structure: the h pipelines run vmapped over the batch first (the NTT
+    stage ops broadcast, so B proofs cost one XLA op per butterfly stage
+    instead of B), the per-witness sorted-MSM plans are built vmapped
+    (one batched lax.sort), then a lax.scan over the batch axis runs the
+    per-proof MSM walks — the Pallas walk kernels are traced once and
+    shared with the single-proof program's cache. Window sums for all B
+    proofs come back in one fetch; the native host tail finishes each
+    proof in ~2 ms."""
+    key = (curve, N, n, W, cfg, fold, w0, w1, Ks, B)
+    fn = _FUSED_BATCH_JIT.get(key)
+    if fn is not None:
+        return fn
+
+    from ..fields.jfield import field_ops
+    from ..kernels.msm_sorted import _msm_from_plan, _msm_plan, _msm_plan_split
+
+    p = P.SCALAR_FIELDS[curve].p
+    q = P.BASE_FIELDS[curve].p
+    beta = g2_group(curve).tower.beta - q
+    f = field_ops(p)
+    _h_stage(curve, n)  # populate _H_RAW
+    h_raw = _H_RAW[(curve, n)]
+    chunk = min(N, 1 << 15)
+    C = -(-N // chunk)
+
+    def z_msm(P128_i, plan_d, plan_s, b):
+        parts = []
+        if plan_d is not None:
+            out_d, _ = _msm_from_plan(
+                q, w0, N, cfg, P128_i, plan_d, True, beta=b, fold=fold
+            )
+            parts.append(out_d)
+        if plan_s is not None:
+            out_s, _ = _msm_from_plan(
+                q, w1 - w0, N, cfg, P128_i, plan_s, True, beta=b, fold=fold
+            )
+            parts.append(out_s)
+        return tuple(
+            jnp.concatenate([pt[i] for pt in parts], axis=0) for i in range(3)
+        )
+
+    def fused(ar, ac, av, br, bc, bv, cr, cc, cv, Z_pad, qg1, qh, qb2, corr_w):
+        # (B, n, nl) h coefficients; the NTT stack batches across proofs
+        H = h_raw(ar, ac, av, br, bc, bv, cr, cc, cv, Z_pad)
+        H_pad = jnp.pad(H[:, : n - 1], ((0, 0), (0, N - (n - 1)), (0, 0)))
+        plans_w = jax.vmap(lambda zb: _msm_plan_split(w1, N, cfg, zb, w0, Ks))(
+            Z_pad
+        )
+        plans_h = jax.vmap(lambda hb: _msm_plan(W, N, cfg, hb))(H_pad)
+
+        def per_b(carry, xs):
+            (plan_d, plan_s), plan_h = xs
+
+            def body(c2, P128_i):
+                return c2, z_msm(P128_i, plan_d, plan_s, None)
+
+            _, g1outs = jax.lax.scan(body, 0, qg1)
+            out_h, _ = _msm_from_plan(
+                q, W, N, cfg, qh, plan_h, True, beta=None, fold=fold
+            )
+            out_b2 = z_msm(qb2, plan_d, plan_s, beta)
+            return carry, (g1outs, out_h, out_b2)
+
+        _, (G1o, Ho, B2o) = jax.lax.scan(per_b, 0, (plans_w, plans_h))
+
+        def corr_b(zb):
+            zm = f.to_mont_(zb)
+            prod = f.mul_(corr_w, jnp.broadcast_to(zm[None], corr_w.shape))
+            s1 = f.reduce_wide_(jnp.sum(prod.reshape(3, C, chunk, -1), axis=2))
+            return f.from_mont_(f.reduce_wide_(jnp.sum(s1, axis=1)))
+
+        corr = jax.vmap(corr_b)(Z_pad)
+        return G1o, Ho, B2o, corr
+
+    fn = jax.jit(fused)
+    _FUSED_BATCH_JIT[key] = fn
+    return fn
+
+
 def _timer():
     """ZOKRATES_TPU_PROVE_TIMING=1 -> per-stage stderr timings."""
     if os.environ.get("ZOKRATES_TPU_PROVE_TIMING") != "1":
@@ -1017,10 +1121,41 @@ def _timer():
     return mark
 
 
-def _accumulators_sorted(curve, pk, dev: R1CSDevice, z_limbs, m, n, ni):
+def _neg_jac(q, jac):
+    x, y, z = jac
+    return (x, (q - y) % q, z)
+
+
+def _neg_jac2(q, jac):
+    x, y, z = jac
+    return (x, ((q - y[0]) % q, (q - y[1]) % q), z)
+
+
+def _native_pair(curve):
+    """(Fq ctx, Fq2 ctx) native contexts, or (None, None) if unavailable."""
+    from ..native import field_for as _nfield
+
+    q = P.BASE_FIELDS[curve].p
+    nf = _nfield(q)
+    if nf is None:
+        return None, None
+    nf2 = _nfield(q, g2_group(curve).tower.beta)
+    if nf2 is None:
+        return None, None
+    return nf, nf2
+
+
+def _prove_core_sorted(curve, pk, dev: R1CSDevice, z_limbs, m, n, ni, r, s):
     """Fused sorted-MSM prove core: ONE device dispatch for h + plans +
     MSMs + corrections (see _fused_prove_fn), one host sync, then the
-    host window combine and dummy-correction subtraction."""
+    host window combine, dummy-correction subtraction, and the A/B/C
+    randomization tail. Returns final (A, B2, C) proof points.
+
+    The host epilogue runs in the native C backend when available
+    (zokrates_tpu/native: ~40 us/MSM combine + ~0.2 ms/scalar mult vs
+    1-4 ms each in Python bigints — the Python tail alone costs more
+    than the device compute at 2^15); the Python path below is the
+    fallback and cross-check oracle."""
     from ..kernels.msm_sorted import (
         _fold_override,
         _windows,
@@ -1077,6 +1212,172 @@ def _accumulators_sorted(curve, pk, dev: R1CSDevice, z_limbs, m, n, ni):
     g1 = g1_group(curve).generator()
     g2 = g2grp.generator()
 
+    nf, nf2 = _native_pair(curve)
+    if nf is not None:
+        out = _finish_native(
+            curve, pk, nf, nf2, g1w, wh, w2, (ca, cb, cl), w1, W, cfg, r, s
+        )
+        mark("host combine+tail (native)")
+        return out
+    out = _finish_python(
+        curve, pk, g1w, wh, w2, (ca, cb, cl), w1, W, cfg, r, s, beta
+    )
+    mark("host combine+tail")
+    return out
+
+
+def _finish_native(curve, pk, nf, nf2, g1w, wh, w2, corrs, w1, W, cfg, r, s):
+    """Window sums + corrections -> final (A, B2, C) proof points, all
+    host math in the native C backend (Jacobian; 3 affine conversions)."""
+    p = P.SCALAR_FIELDS[curve].p
+    q = P.BASE_FIELDS[curve].p
+    ca, cb, cl = corrs
+    g1grp = g1_group(curve)
+    g2grp = g2_group(curve)
+    g1 = g1grp.generator()
+    g2 = g2grp.generator()
+    gj = (g1.x, g1.y, 1)
+    g2j = ((g2.x.c0, g2.x.c1), (g2.y.c0, g2.y.c1), (1, 0))
+
+    def comb1(i):
+        return nf.combine_windows(g1w[0][i], g1w[1][i], g1w[2][i], w1, cfg.c)
+
+    ja = nf.g1_add(comb1(0), _neg_jac(q, nf.g1_mul(gj, ca)))
+    jb1 = nf.g1_add(comb1(1), _neg_jac(q, nf.g1_mul(gj, cb)))
+    jl = nf.g1_add(comb1(2), _neg_jac(q, nf.g1_mul(gj, cl)))
+    jh = nf.combine_windows(wh[0], wh[1], wh[2], W, cfg.c)
+    jb2 = nf2.g2_add(
+        nf2.combine_windows2(w2[0], w2[1], w2[2], w1, cfg.c),
+        _neg_jac2(q, nf2.g2_mul(g2j, cb)),
+    )
+
+    al, b1p, dl = pk.alpha_g1, pk.beta_g1, pk.delta_g1
+    dj = (dl.x, dl.y, 1)
+    A = nf.g1_add(nf.g1_add((al.x, al.y, 1), ja), nf.g1_mul(dj, r))
+    B1 = nf.g1_add(nf.g1_add((b1p.x, b1p.y, 1), jb1), nf.g1_mul(dj, s))
+    b2c, d2c = pk.beta_g2, pk.delta_g2
+    b2j = ((b2c.x.c0, b2c.x.c1), (b2c.y.c0, b2c.y.c1), (1, 0))
+    d2j = ((d2c.x.c0, d2c.x.c1), (d2c.y.c0, d2c.y.c1), (1, 0))
+    B2 = nf2.g2_add(nf2.g2_add(b2j, jb2), nf2.g2_mul(d2j, s))
+    rs = r * s % p
+    C = nf.g1_add(
+        nf.g1_add(jl, jh),
+        nf.g1_add(
+            nf.g1_mul(A, s),
+            nf.g1_add(nf.g1_mul(B1, r), _neg_jac(q, nf.g1_mul(dj, rs))),
+        ),
+    )
+    aA = nf.g1_to_affine(A)
+    aC = nf.g1_to_affine(C)
+    aB2 = nf2.g2_to_affine(B2)
+    A_pt = g1grp.zero() if aA is None else PointG1(g1grp, aA[0], aA[1])
+    C_pt = g1grp.zero() if aC is None else PointG1(g1grp, aC[0], aC[1])
+    if aB2 is None:
+        B2_pt = g2grp.zero()
+    else:
+        from ..ec.tower import Fq2
+
+        B2_pt = PointG2(
+            g2grp,
+            Fq2(g2grp.tower, aB2[0][0], aB2[0][1]),
+            Fq2(g2grp.tower, aB2[1][0], aB2[1][1]),
+        )
+    return A_pt, B2_pt, C_pt
+
+
+def _prove_core_sorted_batch(curve, pk, dev: R1CSDevice, Z_list, m, n, ni, rs_list):
+    """Batched fused prove core: B witnesses -> B (A, B2, C) point triples
+    via one device dispatch (_fused_prove_batch_fn) + per-proof host tails.
+
+    The sparse window split must hold for EVERY witness in the batch, so
+    the per-window nonzero counts are aggregated elementwise-max before
+    the split choice (same-circuit witnesses share the bits-heavy shape,
+    so the union split stays tight)."""
+    from ..kernels.msm_sorted import _fold_override, _windows, default_config
+
+    p = P.SCALAR_FIELDS[curve].p
+    q = P.BASE_FIELDS[curve].p
+    g2grp = g2_group(curve)
+    beta = g2grp.tower.beta - q
+    B = len(Z_list)
+
+    N = max(_msm_tier(m), _msm_tier(n - 1))
+    cfg = default_config(N, interpret=jax.default_backend() != "tpu")
+    need = cfg.M1 * cfg.R
+    if N % need:
+        N = -(-N // need) * need
+    W = _windows(p, cfg.c)
+    fold = _fold_override(cfg)
+
+    d = pk.dev()
+    if "fused_g1" not in d:
+        d["fused_g1"] = jnp.asarray(
+            np.stack([
+                _pad_rows(pk.a_p128, N),
+                _pad_rows(pk.b1_p128, N),
+                _pad_rows(pk.l_p128, N),
+            ])
+        )
+        d["fused_h"] = jnp.asarray(_pad_rows(pk.h_p128, N))
+        d["fused_b2"] = jnp.asarray(_pad_rows(pk.b2_p128, N))
+        d["fused_corr"] = jnp.asarray(
+            np.pad(pk.corr_w, ((0, 0), (0, N - m), (0, 0)))
+        )
+
+    mark = _timer()
+    Z_np = [np.asarray(zl) for zl in Z_list]
+    nnz = np.max([_window_nnz(z, W, cfg.c) for z in Z_np], axis=0)
+    w0, w1, Ks = _split_from_nnz([int(v) for v in nnz], W, cfg, N)
+    mark("sparse split (host digits)")
+    Z_pad = jnp.asarray(
+        np.stack([np.pad(z, ((0, N - m), (0, 0))) for z in Z_np])
+    )
+    mark("z upload")
+    fn = _fused_prove_batch_fn(curve, N, n, W, cfg, fold, w0, w1, Ks, B)
+    G1o, Ho, B2o, corr = fn(
+        *_coo_args(dev), Z_pad, d["fused_g1"], d["fused_h"], d["fused_b2"],
+        d["fused_corr"],
+    )
+    mark("fused dispatch")
+    g1w, wh, w2, corr_np = jax.device_get((G1o, Ho, B2o, corr))
+    mark("device wait+fetch")
+
+    nf, nf2 = _native_pair(curve)
+    outs = []
+    for b in range(B):
+        ca, cb, cl = limbs_to_ints(np.asarray(corr_np[b]))
+        r, s = rs_list[b]
+        g1w_b = (g1w[0][b], g1w[1][b], g1w[2][b])
+        wh_b = (wh[0][b], wh[1][b], wh[2][b])
+        w2_b = (w2[0][b], w2[1][b], w2[2][b])
+        if nf is not None:
+            outs.append(
+                _finish_native(
+                    curve, pk, nf, nf2, g1w_b, wh_b, w2_b, (ca, cb, cl),
+                    w1, W, cfg, r, s,
+                )
+            )
+        else:
+            outs.append(
+                _finish_python(
+                    curve, pk, g1w_b, wh_b, w2_b, (ca, cb, cl), w1, W, cfg,
+                    r, s, beta,
+                )
+            )
+    mark("host combine+tail x B")
+    return outs
+
+
+def _finish_python(curve, pk, g1w, wh, w2, corrs, w1, W, cfg, r, s, beta):
+    """Pure-Python fallback of _finish_native (cross-check oracle)."""
+    from ..kernels.msm_sorted import combine_windows
+
+    p = P.SCALAR_FIELDS[curve].p
+    q = P.BASE_FIELDS[curve].p
+    ca, cb, cl = corrs
+    g1 = g1_group(curve).generator()
+    g2 = g2_group(curve).generator()
+
     def g1_res(i):
         # witness MSM sums stop at w1 (empty top windows contribute the
         # identity; starting the combine at w1-1 is exact)
@@ -1091,8 +1392,19 @@ def _accumulators_sorted(curve, pk, dev: R1CSDevice, z_limbs, m, n, ni):
     b2_acc = _jac_to_g2(
         curve, combine_windows(q, p, w2, w1, cfg, beta=beta)
     ) - _fb_mul_g2(g2, cb)
-    mark("host combine+corr")
-    return a_acc, b1_acc, b2_acc, l_acc, h_acc
+    return _randomize_tail(curve, pk, a_acc, b1_acc, b2_acc, l_acc, h_acc, r, s)
+
+
+def _randomize_tail(curve, pk, a_acc, b1_acc, b2_acc, l_acc, h_acc, r, s):
+    """Python-point randomization tail (fallback + XLA-backend path)."""
+    p = P.SCALAR_FIELDS[curve].p
+    delta_g1 = pk.delta_g1
+    A = pk.alpha_g1 + a_acc + _fb_mul_g1(delta_g1, r)
+    B1 = pk.beta_g1 + b1_acc + _fb_mul_g1(delta_g1, s)
+    B2 = pk.beta_g2 + b2_acc + _fb_mul_g2(pk.delta_g2, s)
+    rs = r * s % p
+    C = l_acc + h_acc + A * s + B1 * r - _fb_mul_g1(delta_g1, rs)
+    return A, B2, C
 
 
 def prove(r1cs: R1CS, pk: ProvingKey, witness: Witness, rng=None) -> Proof:
@@ -1116,10 +1428,23 @@ def prove(r1cs: R1CS, pk: ProvingKey, witness: Witness, rng=None) -> Proof:
     r, s = rand(), rand()
 
     if _msm_backend() == "sorted" and pk.b2_p128 is not None:
-        a_acc, b1_acc, b2_acc, l_acc, h_acc = _accumulators_sorted(
-            curve, pk, dev, z_limbs, m, n, ni
+        A, B2, C = _prove_core_sorted(
+            curve, pk, dev, z_limbs, m, n, ni, r, s
         )
         mark("accumulators")
+        inputs = [fr_to_json(z[i], curve) for i in range(1, ni)]
+        proof = Proof(
+            "g16",
+            curve,
+            {
+                "a": g1_to_json(A, curve),
+                "b": g2_to_json(B2, curve),
+                "c": g1_to_json(C, curve),
+            },
+            inputs,
+        )
+        mark("json tail")
+        return proof
     else:
         # XLA Pippenger path (CPU tests): masks zero the dummy-slot scalars
         z_can = jnp.asarray(z_limbs)
@@ -1144,14 +1469,7 @@ def prove(r1cs: R1CS, pk: ProvingKey, witness: Witness, rng=None) -> Proof:
         l_acc = _msm_packed_g1(curve, d["l_pad"], z_can, d["l_mask"])
         h_acc = _msm_packed_g1(curve, d["h_pad"], h_can)
 
-    delta_g1 = pk.delta_g1
-
-    A = pk.alpha_g1 + a_acc + _fb_mul_g1(delta_g1, r)
-    B1 = pk.beta_g1 + b1_acc + _fb_mul_g1(delta_g1, s)
-    B2 = pk.beta_g2 + b2_acc + _fb_mul_g2(pk.delta_g2, s)
-
-    rs = r * s % p
-    C = l_acc + h_acc + A * s + B1 * r - _fb_mul_g1(delta_g1, rs)
+    A, B2, C = _randomize_tail(curve, pk, a_acc, b1_acc, b2_acc, l_acc, h_acc, r, s)
 
     inputs = [fr_to_json(z[i], curve) for i in range(1, ni)]
     proof = Proof(
@@ -1177,18 +1495,17 @@ _MSM_BATCH_JIT: Dict = {}
 
 
 def _h_stage_batch(curve: str, n: int):
-    """vmapped h pipeline: (B, m, nl) witness batch -> (B, n, nl) h coeffs.
+    """Batched h pipeline: (B, m, nl) witness batch -> (B, n, nl) h coeffs.
 
-    The batch axis is a real device axis (jax.vmap over the same pipeline
-    _h_stage jits), so B proofs share one XLA dispatch per stage — the
+    The raw pipeline is natively batched (one stacked NTT for all 3B
+    transforms), so B proofs share one device op per stage — the
     TPU-native answer to the reference's per-proof rayon loop."""
     key = (curve, n)
     fn = _H_BATCH_JIT.get(key)
     if fn is not None:
         return fn
     _h_stage(curve, n)  # populate _H_RAW
-    inner = _H_RAW[(curve, n)]
-    fn = jax.jit(jax.vmap(inner, in_axes=(None,) * 9 + (0,)))
+    fn = jax.jit(_H_RAW[(curve, n)])
     _H_BATCH_JIT[key] = fn
     return fn
 
@@ -1235,6 +1552,33 @@ def prove_batch(
 
     zs = [[v % p for v in r1cs.full_assignment(w)] for w in witnesses]
     m = len(zs[0])
+
+    if _msm_backend() == "sorted" and pk.b2_p128 is not None:
+        # fused sorted-MSM batch path (TPU): one device dispatch for all
+        # B proofs, native host tails
+        Z_list = [ints_to_limbs(z, nls) for z in zs]
+        dev = _r1cs_device(r1cs, n)
+        rs_list = [(rand(), rand()) for _ in range(B)]
+        triples = _prove_core_sorted_batch(
+            curve, pk, dev, Z_list, m, n, ni, rs_list
+        )
+        proofs = []
+        for b, (A, B2, C) in enumerate(triples):
+            inputs = [fr_to_json(zs[b][i], curve) for i in range(1, ni)]
+            proofs.append(
+                Proof(
+                    "g16",
+                    curve,
+                    {
+                        "a": g1_to_json(A, curve),
+                        "b": g2_to_json(B2, curve),
+                        "c": g1_to_json(C, curve),
+                    },
+                    inputs,
+                )
+            )
+        return proofs
+
     Z = jnp.asarray(
         np.stack([np.asarray(ints_to_limbs(z, nls)) for z in zs])
     )  # (B, m, nl)

@@ -17,12 +17,16 @@ from .program import var_name, var_public
 class Witness:
     def __init__(self, values: Dict[int, int] = None):
         self.values: Dict[int, int] = dict(values) if values else {}
+        self._arr_vars = None  # numpy sidecar (see read); vars, LE-sorted
+        self._arr_vals = None
 
     def __getitem__(self, v: int) -> int:
         return self.values[v]
 
     def __setitem__(self, v: int, val: int):
         self.values[v] = val
+        self._arr_vars = None  # mutation invalidates the sidecar
+        self._arr_vals = None
 
     def __contains__(self, v):
         return v in self.values
@@ -54,11 +58,28 @@ class Witness:
     @staticmethod
     def read(r: io.RawIOBase, field) -> "Witness":
         length = int.from_bytes(r.read(8), "little")
+        stride = 8 + field.NBYTES
+        buf = r.read(length * stride)
         values = {}
-        for _ in range(length):
-            var = int.from_bytes(r.read(8), "little", signed=True)
-            values[var] = int(field.from_byte_vector(r.read(field.NBYTES)))
-        return Witness(values)
+        for i in range(length):
+            off = i * stride
+            var = int.from_bytes(buf[off : off + 8], "little", signed=True)
+            values[var] = int(
+                field.from_byte_vector(buf[off + 8 : off + stride])
+            )
+        w = Witness(values)
+        # numpy sidecar: (vars, raw value bytes) for the vectorized limb
+        # fast path in the prover (groth16._witness_limbs) — the format is
+        # fixed-stride, so this is two buffer views, not a parse
+        try:
+            import numpy as _np
+
+            raw = _np.frombuffer(buf, dtype=_np.uint8).reshape(length, stride)
+            w._arr_vars = raw[:, :8].copy().view("<i8").reshape(length)
+            w._arr_vals = raw[:, 8:].copy()
+        except ValueError:
+            pass
+        return w
 
     # -- json --------------------------------------------------------------
     def to_json(self) -> str:

@@ -1104,6 +1104,70 @@ def _fused_prove_batch_fn(
     return fn
 
 
+_WLIMB_CACHE: Dict = {}
+
+
+def _witness_limbs(r1cs: R1CS, witness: Witness, p: int, nls: int) -> np.ndarray:
+    """(m, nls) u32 canonical witness limb array.
+
+    Fast path: witnesses read from disk carry a numpy sidecar
+    (Witness._arr_vars/_arr_vals); the full assignment is then two numpy
+    gathers (~0.3 ms at 27k variables) instead of a 27k-element Python
+    int round trip (~8 ms). Falls back to the int path for interpreter-
+    built witnesses, foreign layouts, or any value >= p."""
+    va = getattr(witness, "_arr_vars", None)
+    vals = getattr(witness, "_arr_vals", None)
+
+    def slow():
+        z = [v % p for v in r1cs.full_assignment(witness)]
+        return np.asarray(ints_to_limbs(z, nls))
+
+    if va is None or vals is None or vals.shape[1] != 2 * nls:
+        return slow()
+    cached = _WLIMB_CACHE.get(id(r1cs))
+    if cached is None or not np.array_equal(cached[0], va):
+        ir_vars = np.fromiter(r1cs.ir_to_dense.keys(), dtype=np.int64)
+        dense = np.fromiter(r1cs.ir_to_dense.values(), dtype=np.int64)
+        rows = np.searchsorted(va, ir_vars)
+        if np.any(rows >= len(va)) or not np.array_equal(va[rows], ir_vars):
+            return slow()  # witness is missing mapped variables
+        from ..fields.limbs import int_to_limbs
+
+        p16 = int_to_limbs(p, nls)
+        cached = (va.copy(), dense, rows, p16)
+        _WLIMB_CACHE[id(r1cs)] = cached
+    _, dense, rows, p16 = cached
+    w16 = np.ascontiguousarray(vals).view("<u2").astype(np.uint32)
+    # exact range check vs p (most-significant-limb-first lexicographic)
+    eq = np.ones(w16.shape[0], dtype=bool)
+    ge = np.zeros(w16.shape[0], dtype=bool)
+    for i in range(nls - 1, -1, -1):
+        gt = eq & (w16[:, i] > p16[i])
+        lt = eq & (w16[:, i] < p16[i])
+        ge |= gt
+        eq &= ~(gt | lt)
+    if np.any(ge | eq):
+        return slow()  # non-canonical value present
+    m = r1cs.num_variables
+    z = np.zeros((m, nls), np.uint32)
+    z[0, 0] = 1
+    z[dense] = w16[rows]
+    return z
+
+
+def _public_inputs_json(r1cs: R1CS, witness: Witness, curve: str):
+    """Proof JSON public inputs (dense instance slots 1..ni-1)."""
+    p = P.SCALAR_FIELDS[curve].p
+    inv = getattr(r1cs, "_dense_inv", None)
+    if inv is None:
+        inv = {d: v for v, d in r1cs.ir_to_dense.items()}
+        r1cs._dense_inv = inv
+    return [
+        fr_to_json(witness[inv[i]] % p, curve)
+        for i in range(1, r1cs.num_instance)
+    ]
+
+
 def _timer():
     """ZOKRATES_TPU_PROVE_TIMING=1 -> per-stage stderr timings."""
     if os.environ.get("ZOKRATES_TPU_PROVE_TIMING") != "1":
@@ -1414,13 +1478,11 @@ def prove(r1cs: R1CS, pk: ProvingKey, witness: Witness, rng=None) -> Proof:
     g1grp = g1_group(curve)
 
     mark = _timer()
-    z = [v % p for v in r1cs.full_assignment(witness)]
     n = pk.domain_size
     ni = pk.num_instance
-    m = len(z)
     nls = n_limbs(p)
-
-    z_limbs = ints_to_limbs(z, nls)
+    z_limbs = _witness_limbs(r1cs, witness, p, nls)
+    m = z_limbs.shape[0]
     mark("witness host prep")
 
     dev = _r1cs_device(r1cs, n)
@@ -1432,7 +1494,7 @@ def prove(r1cs: R1CS, pk: ProvingKey, witness: Witness, rng=None) -> Proof:
             curve, pk, dev, z_limbs, m, n, ni, r, s
         )
         mark("accumulators")
-        inputs = [fr_to_json(z[i], curve) for i in range(1, ni)]
+        inputs = _public_inputs_json(r1cs, witness, curve)
         proof = Proof(
             "g16",
             curve,
@@ -1471,7 +1533,7 @@ def prove(r1cs: R1CS, pk: ProvingKey, witness: Witness, rng=None) -> Proof:
 
     A, B2, C = _randomize_tail(curve, pk, a_acc, b1_acc, b2_acc, l_acc, h_acc, r, s)
 
-    inputs = [fr_to_json(z[i], curve) for i in range(1, ni)]
+    inputs = _public_inputs_json(r1cs, witness, curve)
     proof = Proof(
         "g16",
         curve,
@@ -1550,13 +1612,12 @@ def prove_batch(
     if B == 0:
         return []
 
-    zs = [[v % p for v in r1cs.full_assignment(w)] for w in witnesses]
-    m = len(zs[0])
+    Z_list = [_witness_limbs(r1cs, w, p, nls) for w in witnesses]
+    m = Z_list[0].shape[0]
 
     if _msm_backend() == "sorted" and pk.b2_p128 is not None:
         # fused sorted-MSM batch path (TPU): one device dispatch for all
         # B proofs, native host tails
-        Z_list = [ints_to_limbs(z, nls) for z in zs]
         dev = _r1cs_device(r1cs, n)
         rs_list = [(rand(), rand()) for _ in range(B)]
         triples = _prove_core_sorted_batch(
@@ -1564,7 +1625,7 @@ def prove_batch(
         )
         proofs = []
         for b, (A, B2, C) in enumerate(triples):
-            inputs = [fr_to_json(zs[b][i], curve) for i in range(1, ni)]
+            inputs = _public_inputs_json(r1cs, witnesses[b], curve)
             proofs.append(
                 Proof(
                     "g16",
@@ -1579,9 +1640,7 @@ def prove_batch(
             )
         return proofs
 
-    Z = jnp.asarray(
-        np.stack([np.asarray(ints_to_limbs(z, nls)) for z in zs])
-    )  # (B, m, nl)
+    Z = jnp.asarray(np.stack(Z_list))  # (B, m, nl)
 
     dev = _r1cs_device(r1cs, n)
     H = _h_stage_batch(curve, n)(*_coo_args(dev), Z)[:, : n - 1]  # (B, n-1, nl)
@@ -1656,7 +1715,7 @@ def prove_batch(
         B1 = pk.beta_g1 + b1_acc + _fb_mul_g1(delta_g1, s)
         B2 = pk.beta_g2 + b2_acc + _fb_mul_g2(pk.delta_g2, s)
         C = l_acc + h_acc + A * s + B1 * r - _fb_mul_g1(delta_g1, r * s % p)
-        inputs = [fr_to_json(zs[b][i], curve) for i in range(1, ni)]
+        inputs = _public_inputs_json(r1cs, witnesses[b], curve)
         proofs.append(
             Proof(
                 "g16",

@@ -113,6 +113,42 @@ def test_combine_windows_matches_python():
     assert nf.g1_to_affine(got) == nf.g1_to_affine(acc)
 
 
+def test_host_sparse_windows_g1():
+    """Native sparse-window MSM + Horner combine vs direct Python EC."""
+    import jax
+
+    from zokrates_tpu.fields.limbs import n_limbs as _nlimbs
+    from zokrates_tpu.schemes.groth16 import (
+        _combine_host_g1,
+        _pack_query,
+        _signed_digits_np,
+    )
+
+    curve = "bn128"
+    q = P.BASE_FIELDS[curve].p
+    r = P.SCALAR_FIELDS[curve].p
+    nf = field_for(q)
+    grp = g1_group(curve)
+    g = grp.generator()
+    rng = random.Random(11)
+    m = 24
+    pts = [g * rng.randrange(1, r) for _ in range(m)]
+    p128, _ = _pack_query(curve, [(p.x, p.y) for p in pts])
+    zs = [rng.randrange(0, 1 << 28) for _ in range(m)]
+    z_np = np.asarray(ints_to_limbs(zs, _nlimbs(r)))
+    c, W = 8, 5
+    digits, signs = _signed_digits_np(z_np, W, c)
+    wins = []
+    for w in range(W):
+        nz = np.nonzero(digits[w])[0].astype(np.int32)
+        wins.append(nf.sparse_window_g1(p128, nz, digits[w][nz], signs[w][nz]))
+    total = _combine_host_g1(nf, wins[0], wins[1:], 1, c)
+    exp = grp.zero()
+    for i in range(m):
+        exp = exp + pts[i] * zs[i]
+    assert nf.g1_to_affine(total) == (exp.x, exp.y)
+
+
 def test_combine_windows2_matches_python():
     from zokrates_tpu.kernels.msm_sorted import _host_jac_add2, _host_jac_double2
 

@@ -89,7 +89,12 @@ class Domain:
             return False
         if mode == "pallas":
             return True
-        return self.n >= 1024 and jax.default_backend() == "tpu"
+        # upper bound: the kernel keeps the whole (nl, n/128, 128) array
+        # in VMEM — at n = 2^15 / nl = 16 that is 2 MB of state (~10 MB
+        # with twiddles + mul temporaries); n = 2^17+ would blow the
+        # ~16 MB scoped-vmem budget. Larger domains stay on the XLA path
+        # (or a four-step decomposition over this kernel).
+        return 1024 <= self.n <= (1 << 15) and jax.default_backend() == "tpu"
 
     def _fft_core(self, x: jnp.ndarray, twiddles) -> jnp.ndarray:
         """x: (..., n, nl) Montgomery limbs -> transformed, natural order."""

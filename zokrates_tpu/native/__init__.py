@@ -207,6 +207,34 @@ class NativeField:
             return None
         return (_u64_to_int(out, 0, self.nl), _u64_to_int(out, self.nl, self.nl))
 
+    def g1_shift(self, jac, k: int):
+        """2^k * P (k successive doublings)."""
+        out = _u64buf(3 * self.nl)
+        self.lib.zkt_g1_shift(self.ctx, self._jac_in(jac), int(k), out)
+        return self._jac_out(out)
+
+    def sparse_window_g1(self, rows: np.ndarray, idx, digits, signs):
+        """sum |d_i| * P_{idx_i} over packed Montgomery rows [x|y|-y|pad]
+        (the MSM kernel layout); signs select the negated-y columns.
+        Returns canonical Jacobian ints."""
+        rows = np.ascontiguousarray(rows, dtype=np.uint32)
+        idx = np.ascontiguousarray(idx, dtype=np.int32)
+        digits = np.ascontiguousarray(digits, dtype=np.uint32)
+        signs = np.ascontiguousarray(signs, dtype=np.uint32)
+        out = _u64buf(3 * self.nl)
+        self.lib.zkt_sparse_window_g1(
+            self.ctx,
+            rows.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            rows.shape[1],
+            self.nl16,
+            idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            digits.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            signs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            len(idx),
+            out,
+        )
+        return self._jac_out(out)
+
     # -- G2 (Fq2 coords as (c0, c1) int pairs) -----------------------------
 
     def _jac2_in(self, jac):
@@ -246,6 +274,31 @@ class NativeField:
         nl = self.nl
         v = [_u64_to_int(out, i * nl, nl) for i in range(4)]
         return ((v[0], v[1]), (v[2], v[3]))
+
+    def g2_shift(self, jac, k: int):
+        out = _u64buf(6 * self.nl)
+        self.lib.zkt_g2_shift(self.ctx, self._jac2_in(jac), int(k), out)
+        return self._jac2_out(out)
+
+    def sparse_window_g2(self, rows: np.ndarray, idx, digits, signs):
+        """G2 variant over rows [x.c0|x.c1|y.c0|y.c1|-y.c0|-y.c1|pad]."""
+        rows = np.ascontiguousarray(rows, dtype=np.uint32)
+        idx = np.ascontiguousarray(idx, dtype=np.int32)
+        digits = np.ascontiguousarray(digits, dtype=np.uint32)
+        signs = np.ascontiguousarray(signs, dtype=np.uint32)
+        out = _u64buf(6 * self.nl)
+        self.lib.zkt_sparse_window_g2(
+            self.ctx,
+            rows.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            rows.shape[1],
+            self.nl16,
+            idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            digits.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            signs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            len(idx),
+            out,
+        )
+        return self._jac2_out(out)
 
 
 def field_for(p: int, beta: Optional[int] = None) -> Optional[NativeField]:

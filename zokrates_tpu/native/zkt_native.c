@@ -527,6 +527,91 @@ void zkt_combine_windows2(const zkt_ctx *c, const u32 *wX, const u32 *wY,
     zkt_from_mont(c, out + 5 * c->nl, acc.Z.c1);
 }
 
+static void g2_load(const zkt_ctx *c, g2 *P, const u64 *b);
+static void g2_store(const zkt_ctx *c, const g2 *P, u64 *b);
+
+/* sparse window MSM: sum_i |d_i| * P_{idx_i} with sign-selected y.
+ * rows: packed (., row_stride u32) device rows [x|y|-y|pad] in Montgomery
+ * 16-bit limbs (the MSM kernel layout). digits < 2^15. out: canonical
+ * Jacobian. Used for the ultra-sparse witness windows the device walk
+ * would pad to its 4096-slot floor. */
+void zkt_sparse_window_g1(const zkt_ctx *c, const u32 *rows, int row_stride,
+                          int nl16, const int32_t *idx, const u32 *digits,
+                          const u32 *signs, int k, u64 *out) {
+    g1 acc, P, T;
+    g1_set_inf(c, &acc);
+    for (int i = 0; i < k; i++) {
+        const u32 *row = rows + (size_t)idx[i] * row_stride;
+        row_to_u64(row, nl16, P.X);
+        row_to_u64(row + (signs[i] ? 2 * nl16 : nl16), nl16, P.Y);
+        fcopy(P.Z, c->one, c->nl);
+        u32 d = digits[i];
+        if (d == 1) {
+            g1_add(c, &acc, &acc, &P);
+            continue;
+        }
+        /* double-and-add over the bits of d (msb first) */
+        g1_set_inf(c, &T);
+        for (int b = 31 - __builtin_clz(d); b >= 0; b--) {
+            g1_dbl(c, &T, &T);
+            if ((d >> b) & 1) g1_add(c, &T, &T, &P);
+        }
+        g1_add(c, &acc, &acc, &T);
+    }
+    zkt_from_mont(c, out, acc.X);
+    zkt_from_mont(c, out + c->nl, acc.Y);
+    zkt_from_mont(c, out + 2 * c->nl, acc.Z);
+}
+
+/* G2 rows pack [x.c0|x.c1|y.c0|y.c1|-y.c0|-y.c1|pad]. */
+void zkt_sparse_window_g2(const zkt_ctx *c, const u32 *rows, int row_stride,
+                          int nl16, const int32_t *idx, const u32 *digits,
+                          const u32 *signs, int k, u64 *out) {
+    g2 acc, P, T;
+    g2_set_inf(c, &acc);
+    for (int i = 0; i < k; i++) {
+        const u32 *row = rows + (size_t)idx[i] * row_stride;
+        row_to_u64(row, nl16, P.X.c0);
+        row_to_u64(row + nl16, nl16, P.X.c1);
+        const u32 *yy = row + (signs[i] ? 4 * nl16 : 2 * nl16);
+        row_to_u64(yy, nl16, P.Y.c0);
+        row_to_u64(yy + nl16, nl16, P.Y.c1);
+        fcopy(P.Z.c0, c->one, c->nl);
+        fzero(P.Z.c1, c->nl);
+        u32 d = digits[i];
+        if (d == 1) {
+            g2_add(c, &acc, &acc, &P);
+            continue;
+        }
+        g2_set_inf(c, &T);
+        for (int b = 31 - __builtin_clz(d); b >= 0; b--) {
+            g2_dbl(c, &T, &T);
+            if ((d >> b) & 1) g2_add(c, &T, &T, &P);
+        }
+        g2_add(c, &acc, &acc, &T);
+    }
+    g2_store(c, &acc, out);
+}
+
+/* k successive doublings: out = 2^k * P (canonical Jacobian in/out) */
+void zkt_g1_shift(const zkt_ctx *c, const u64 *xyz, int k, u64 *out) {
+    g1 P;
+    zkt_to_mont(c, P.X, xyz);
+    zkt_to_mont(c, P.Y, xyz + c->nl);
+    zkt_to_mont(c, P.Z, xyz + 2 * c->nl);
+    for (int i = 0; i < k; i++) g1_dbl(c, &P, &P);
+    zkt_from_mont(c, out, P.X);
+    zkt_from_mont(c, out + c->nl, P.Y);
+    zkt_from_mont(c, out + 2 * c->nl, P.Z);
+}
+
+void zkt_g2_shift(const zkt_ctx *c, const u64 *xyz, int k, u64 *out) {
+    g2 P;
+    g2_load(c, &P, xyz);
+    for (int i = 0; i < k; i++) g2_dbl(c, &P, &P);
+    g2_store(c, &P, out);
+}
+
 /* ---- point API: canonical affine/Jacobian u64 limb buffers ----
  * G1 Jacobian buffer: [X|Y|Z] (3*nl u64), canonical coords.
  * infinity <=> Z == 0. */

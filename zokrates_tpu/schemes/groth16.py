@@ -873,8 +873,8 @@ def _jac_to_g2(curve: str, jac) -> PointG2:
     )
 
 
-def _window_nnz(z_limbs: np.ndarray, W: int, c: int) -> List[int]:
-    """Exact per-window nonzero signed-digit counts of the witness.
+def _signed_digits_np(z_limbs: np.ndarray, W: int, c: int):
+    """Host signed-digit decomposition: (W, m) |digit| and sign arrays.
     Mirrors kernels/msm_sorted._signed_digits exactly (c | 16 so no digit
     spans limbs); vectorized numpy, ~1 ms at 2^15."""
     m, nls = z_limbs.shape
@@ -882,7 +882,8 @@ def _window_nnz(z_limbs: np.ndarray, W: int, c: int) -> List[int]:
     half = np.uint32(1 << (c - 1))
     full = np.uint32(1 << c)
     carry = np.zeros(m, np.uint32)
-    out = []
+    digits = np.zeros((W, m), np.uint32)
+    signs = np.zeros((W, m), np.uint32)
     for w in range(W):
         limb = (w * c) // 16
         sh = np.uint32((w * c) % 16)
@@ -893,10 +894,16 @@ def _window_nnz(z_limbs: np.ndarray, W: int, c: int) -> List[int]:
         )
         t = raw + carry
         neg = t >= half
-        b = np.where(neg, full - t, t)
+        digits[w] = np.where(neg, full - t, t)
+        signs[w] = neg
         carry = neg.astype(np.uint32)
-        out.append(int(np.count_nonzero(b)))
-    return out
+    return digits, signs
+
+
+def _window_nnz(z_limbs: np.ndarray, W: int, c: int) -> List[int]:
+    """Exact per-window nonzero signed-digit counts of the witness."""
+    digits, _ = _signed_digits_np(z_limbs, W, c)
+    return [int(np.count_nonzero(digits[w])) for w in range(W)]
 
 
 _SPLIT_W0S = (0, 1, 2, 3, 4, 6, 8, 12, 16)
@@ -934,6 +941,75 @@ def _split_from_nnz(nnz, W: int, cfg, N: int):
         if cost < best[0]:
             best = (cost, w0, Ks)
     return best[1], w1, best[2]
+
+
+# total sparse entries the native host path absorbs per witness; ~3 us
+# per entry (C double-and-add at digit width), so 4096 entries cost a
+# couple of ms across all four queries — vs a 4096-slot device walk FLOOR
+# per sparse window (cfg.M1 * cfg.R) plus per-window merge/suffix fixed
+# costs on the device side
+_HOST_SPARSE_CAP = 4096
+
+
+def _split_with_host(nnz: List[int], W: int, cfg, N: int, native_ok: bool):
+    """(w0, w1, Ks, host) split. host=True: the device walks only the
+    dense windows [0, w0) and the native C backend computes windows
+    [w0, w1) directly from the packed query rows (zkSNARK witnesses are
+    mostly bits — those windows hold a handful of nonzero digits each,
+    far below the device walk's M1*R slot floor)."""
+    last = max((w for w in range(W) if nnz[w]), default=0) + 1
+    if native_ok:
+        suffix = 0
+        w0 = last
+        while w0 > 1 and suffix + nnz[w0 - 1] <= _HOST_SPARSE_CAP:
+            suffix += nnz[w0 - 1]
+            w0 -= 1
+        if w0 < last:
+            # snap w0 to the discrete candidate grid so compiled program
+            # variants stay bounded (same grid as the device split)
+            w0 = next((c0 for c0 in _SPLIT_W0S if c0 >= w0), last)
+            if w0 < last:
+                return w0, last, N, True
+    w0, w1, Ks = _split_from_nnz(nnz, W, cfg, N)
+    return w0, w1, Ks, False
+
+
+def _host_sparse_windows(nf, nf2, pk, z_np, w0: int, w1: int, c: int):
+    """Windows [w0, w1) of the four witness MSMs, computed natively on
+    the host from the packed pk rows. Returns ([a, b1, l] per-window
+    G1 jac lists, b2 per-window G2 jac list)."""
+    digits, signs = _signed_digits_np(z_np, w1, c)
+    g1_wins = [[], [], []]
+    g2_wins = []
+    queries = (pk.a_p128, pk.b1_p128, pk.l_p128)
+    m = z_np.shape[0]
+    for w in range(w0, w1):
+        nz = np.nonzero(digits[w][:m])[0].astype(np.int32)
+        dg = digits[w][nz]
+        sg = signs[w][nz]
+        for qi, q in enumerate(queries):
+            g1_wins[qi].append(nf.sparse_window_g1(q, nz, dg, sg))
+        g2_wins.append(nf2.sparse_window_g2(pk.b2_p128, nz, dg, sg))
+    return g1_wins, g2_wins
+
+
+def _combine_host_g1(nf, dev_jac, host_wins, w0: int, c: int):
+    """dev_jac (= sum_{w<w0} 2^{cw} S_w) + 2^{c w0} * Horner(host_wins)."""
+    if not host_wins:
+        return dev_jac
+    acc = (1, 1, 0)
+    for S in reversed(host_wins):
+        acc = nf.g1_add(nf.g1_shift(acc, c), S)
+    return nf.g1_add(dev_jac, nf.g1_shift(acc, c * w0))
+
+
+def _combine_host_g2(nf2, dev_jac, host_wins, w0: int, c: int):
+    if not host_wins:
+        return dev_jac
+    acc = ((1, 0), (1, 0), (0, 0))
+    for S in reversed(host_wins):
+        acc = nf2.g2_add(nf2.g2_shift(acc, c), S)
+    return nf2.g2_add(dev_jac, nf2.g2_shift(acc, c * w0))
 
 
 _FUSED_JIT: Dict = {}
@@ -1256,30 +1332,38 @@ def _prove_core_sorted(curve, pk, dev: R1CSDevice, z_limbs, m, n, ni, r, s):
         )
 
     mark = _timer()
+    nf, nf2 = _native_pair(curve)
     z_np = np.asarray(z_limbs)
-    w0, w1, Ks = _sparse_split(z_np, W, cfg, N)
+    nnz = _window_nnz(z_np, W, cfg.c)
+    w0, w1, Ks, host = _split_with_host(nnz, W, cfg, N, nf is not None)
+    w1_dev = w0 if host else w1
     mark("sparse split (host digits)")
     z_pad = jnp.asarray(np.pad(z_np, ((0, N - m), (0, 0))))
     mark("z upload")
-    fn = _fused_prove_fn(curve, N, n, W, cfg, fold, w0, w1, Ks)
+    fn = _fused_prove_fn(
+        curve, N, n, W, cfg, fold, w0, w1_dev, Ks if not host else N
+    )
     g1outs, out_h, out_b2, corr = fn(
         *_coo_args(dev), z_pad, d["fused_g1"], d["fused_h"], d["fused_b2"],
         d["fused_corr"],
     )
     mark("fused dispatch")
 
+    # host sparse windows overlap the device walk (dispatch is async)
+    host_g1 = host_g2 = None
+    if host:
+        host_g1, host_g2 = _host_sparse_windows(nf, nf2, pk, z_np, w0, w1, cfg.c)
+        mark("host sparse windows")
+
     # single sync point: fetch window sums + corrections together
     g1w, wh, w2, corr_np = jax.device_get((g1outs, out_h, out_b2, corr))
     mark("device wait+fetch")
     ca, cb, cl = limbs_to_ints(np.asarray(corr_np))
 
-    g1 = g1_group(curve).generator()
-    g2 = g2grp.generator()
-
-    nf, nf2 = _native_pair(curve)
     if nf is not None:
         out = _finish_native(
-            curve, pk, nf, nf2, g1w, wh, w2, (ca, cb, cl), w1, W, cfg, r, s
+            curve, pk, nf, nf2, g1w, wh, w2, (ca, cb, cl), w1_dev, W, cfg,
+            r, s, host_g1, host_g2,
         )
         mark("host combine+tail (native)")
         return out
@@ -1290,9 +1374,14 @@ def _prove_core_sorted(curve, pk, dev: R1CSDevice, z_limbs, m, n, ni, r, s):
     return out
 
 
-def _finish_native(curve, pk, nf, nf2, g1w, wh, w2, corrs, w1, W, cfg, r, s):
+def _finish_native(
+    curve, pk, nf, nf2, g1w, wh, w2, corrs, w1, W, cfg, r, s,
+    host_g1=None, host_g2=None,
+):
     """Window sums + corrections -> final (A, B2, C) proof points, all
-    host math in the native C backend (Jacobian; 3 affine conversions)."""
+    host math in the native C backend (Jacobian; 3 affine conversions).
+    w1 is the DEVICE window count; host_g1/host_g2 (optional) carry the
+    natively-computed sparse windows [w1, w1+len) per query."""
     p = P.SCALAR_FIELDS[curve].p
     q = P.BASE_FIELDS[curve].p
     ca, cb, cl = corrs
@@ -1304,16 +1393,19 @@ def _finish_native(curve, pk, nf, nf2, g1w, wh, w2, corrs, w1, W, cfg, r, s):
     g2j = ((g2.x.c0, g2.x.c1), (g2.y.c0, g2.y.c1), (1, 0))
 
     def comb1(i):
-        return nf.combine_windows(g1w[0][i], g1w[1][i], g1w[2][i], w1, cfg.c)
+        dev = nf.combine_windows(g1w[0][i], g1w[1][i], g1w[2][i], w1, cfg.c)
+        if host_g1 is not None:
+            dev = _combine_host_g1(nf, dev, host_g1[i], w1, cfg.c)
+        return dev
 
     ja = nf.g1_add(comb1(0), _neg_jac(q, nf.g1_mul(gj, ca)))
     jb1 = nf.g1_add(comb1(1), _neg_jac(q, nf.g1_mul(gj, cb)))
     jl = nf.g1_add(comb1(2), _neg_jac(q, nf.g1_mul(gj, cl)))
     jh = nf.combine_windows(wh[0], wh[1], wh[2], W, cfg.c)
-    jb2 = nf2.g2_add(
-        nf2.combine_windows2(w2[0], w2[1], w2[2], w1, cfg.c),
-        _neg_jac2(q, nf2.g2_mul(g2j, cb)),
-    )
+    jb2_dev = nf2.combine_windows2(w2[0], w2[1], w2[2], w1, cfg.c)
+    if host_g2 is not None:
+        jb2_dev = _combine_host_g2(nf2, jb2_dev, host_g2, w1, cfg.c)
+    jb2 = nf2.g2_add(jb2_dev, _neg_jac2(q, nf2.g2_mul(g2j, cb)))
 
     al, b1p, dl = pk.alpha_g1, pk.beta_g1, pk.delta_g1
     dj = (dl.x, dl.y, 1)
@@ -1389,24 +1481,38 @@ def _prove_core_sorted_batch(curve, pk, dev: R1CSDevice, Z_list, m, n, ni, rs_li
         )
 
     mark = _timer()
+    nf, nf2 = _native_pair(curve)
     Z_np = [np.asarray(zl) for zl in Z_list]
     nnz = np.max([_window_nnz(z, W, cfg.c) for z in Z_np], axis=0)
-    w0, w1, Ks = _split_from_nnz([int(v) for v in nnz], W, cfg, N)
+    w0, w1, Ks, host = _split_with_host(
+        [int(v) for v in nnz], W, cfg, N, nf is not None
+    )
+    w1_dev = w0 if host else w1
     mark("sparse split (host digits)")
     Z_pad = jnp.asarray(
         np.stack([np.pad(z, ((0, N - m), (0, 0))) for z in Z_np])
     )
     mark("z upload")
-    fn = _fused_prove_batch_fn(curve, N, n, W, cfg, fold, w0, w1, Ks, B)
+    fn = _fused_prove_batch_fn(
+        curve, N, n, W, cfg, fold, w0, w1_dev, Ks if not host else N, B
+    )
     G1o, Ho, B2o, corr = fn(
         *_coo_args(dev), Z_pad, d["fused_g1"], d["fused_h"], d["fused_b2"],
         d["fused_corr"],
     )
     mark("fused dispatch")
+
+    # per-proof host sparse windows overlap the device batch walk
+    hosts = [None] * B
+    if host:
+        hosts = [
+            _host_sparse_windows(nf, nf2, pk, z, w0, w1, cfg.c) for z in Z_np
+        ]
+        mark("host sparse windows x B")
+
     g1w, wh, w2, corr_np = jax.device_get((G1o, Ho, B2o, corr))
     mark("device wait+fetch")
 
-    nf, nf2 = _native_pair(curve)
     outs = []
     for b in range(B):
         ca, cb, cl = limbs_to_ints(np.asarray(corr_np[b]))
@@ -1415,10 +1521,11 @@ def _prove_core_sorted_batch(curve, pk, dev: R1CSDevice, Z_list, m, n, ni, rs_li
         wh_b = (wh[0][b], wh[1][b], wh[2][b])
         w2_b = (w2[0][b], w2[1][b], w2[2][b])
         if nf is not None:
+            hg1, hg2 = hosts[b] if hosts[b] is not None else (None, None)
             outs.append(
                 _finish_native(
                     curve, pk, nf, nf2, g1w_b, wh_b, w2_b, (ca, cb, cl),
-                    w1, W, cfg, r, s,
+                    w1_dev, W, cfg, r, s, hg1, hg2,
                 )
             )
         else:

@@ -952,26 +952,30 @@ _HOST_SPARSE_CAP = 4096
 
 
 def _split_with_host(nnz: List[int], W: int, cfg, N: int, native_ok: bool):
-    """(w0, w1, Ks, host) split. host=True: the device walks only the
-    dense windows [0, w0) and the native C backend computes windows
-    [w0, w1) directly from the packed query rows (zkSNARK witnesses are
-    mostly bits — those windows hold a handful of nonzero digits each,
-    far below the device walk's M1*R slot floor)."""
+    """Returns (w0, w1, Ks, hw0, hw1): (w0, w1, Ks) is the DEVICE window
+    split (the _fused_prove_fn parameters), and [hw0, hw1) are the
+    windows the native C host backend computes directly from the packed
+    query rows (empty when hw0 == hw1). zkSNARK witnesses are mostly
+    bits: beyond window 0 the per-window nonzero counts are tiny, far
+    below the device walk's M1*R slot floor — the host absorbs every
+    trailing window whose cumulative count fits _HOST_SPARSE_CAP, and
+    the device split is then re-optimized over the remaining prefix
+    (typically: window 0 alone, walked at its nnz tier, not N)."""
     last = max((w for w in range(W) if nnz[w]), default=0) + 1
     if native_ok:
         suffix = 0
-        w0 = last
-        while w0 > 1 and suffix + nnz[w0 - 1] <= _HOST_SPARSE_CAP:
-            suffix += nnz[w0 - 1]
-            w0 -= 1
-        if w0 < last:
-            # snap w0 to the discrete candidate grid so compiled program
-            # variants stay bounded (same grid as the device split)
-            w0 = next((c0 for c0 in _SPLIT_W0S if c0 >= w0), last)
-            if w0 < last:
-                return w0, last, N, True
+        wh = last
+        while wh > 1 and suffix + nnz[wh - 1] <= _HOST_SPARSE_CAP:
+            suffix += nnz[wh - 1]
+            wh -= 1
+        # snap to the discrete candidate grid so compiled program
+        # variants stay bounded (same grid as the device split)
+        wh = next((c0 for c0 in _SPLIT_W0S if c0 >= wh), last)
+        if wh < last:
+            w0, w1, Ks = _split_from_nnz(nnz[:wh], wh, cfg, N)
+            return w0, w1, Ks, wh, last
     w0, w1, Ks = _split_from_nnz(nnz, W, cfg, N)
-    return w0, w1, Ks, False
+    return w0, w1, Ks, 0, 0
 
 
 def _host_sparse_windows(nf, nf2, pk, z_np, w0: int, w1: int, c: int):
@@ -1335,14 +1339,11 @@ def _prove_core_sorted(curve, pk, dev: R1CSDevice, z_limbs, m, n, ni, r, s):
     nf, nf2 = _native_pair(curve)
     z_np = np.asarray(z_limbs)
     nnz = _window_nnz(z_np, W, cfg.c)
-    w0, w1, Ks, host = _split_with_host(nnz, W, cfg, N, nf is not None)
-    w1_dev = w0 if host else w1
+    w0, w1, Ks, hw0, hw1 = _split_with_host(nnz, W, cfg, N, nf is not None)
     mark("sparse split (host digits)")
     z_pad = jnp.asarray(np.pad(z_np, ((0, N - m), (0, 0))))
     mark("z upload")
-    fn = _fused_prove_fn(
-        curve, N, n, W, cfg, fold, w0, w1_dev, Ks if not host else N
-    )
+    fn = _fused_prove_fn(curve, N, n, W, cfg, fold, w0, w1, Ks)
     g1outs, out_h, out_b2, corr = fn(
         *_coo_args(dev), z_pad, d["fused_g1"], d["fused_h"], d["fused_b2"],
         d["fused_corr"],
@@ -1351,8 +1352,10 @@ def _prove_core_sorted(curve, pk, dev: R1CSDevice, z_limbs, m, n, ni, r, s):
 
     # host sparse windows overlap the device walk (dispatch is async)
     host_g1 = host_g2 = None
-    if host:
-        host_g1, host_g2 = _host_sparse_windows(nf, nf2, pk, z_np, w0, w1, cfg.c)
+    if hw1 > hw0:
+        host_g1, host_g2 = _host_sparse_windows(
+            nf, nf2, pk, z_np, hw0, hw1, cfg.c
+        )
         mark("host sparse windows")
 
     # single sync point: fetch window sums + corrections together
@@ -1362,8 +1365,8 @@ def _prove_core_sorted(curve, pk, dev: R1CSDevice, z_limbs, m, n, ni, r, s):
 
     if nf is not None:
         out = _finish_native(
-            curve, pk, nf, nf2, g1w, wh, w2, (ca, cb, cl), w1_dev, W, cfg,
-            r, s, host_g1, host_g2,
+            curve, pk, nf, nf2, g1w, wh, w2, (ca, cb, cl), w1, W, cfg,
+            r, s, host_g1, host_g2, hw0,
         )
         mark("host combine+tail (native)")
         return out
@@ -1376,12 +1379,12 @@ def _prove_core_sorted(curve, pk, dev: R1CSDevice, z_limbs, m, n, ni, r, s):
 
 def _finish_native(
     curve, pk, nf, nf2, g1w, wh, w2, corrs, w1, W, cfg, r, s,
-    host_g1=None, host_g2=None,
+    host_g1=None, host_g2=None, hw0=0,
 ):
     """Window sums + corrections -> final (A, B2, C) proof points, all
     host math in the native C backend (Jacobian; 3 affine conversions).
     w1 is the DEVICE window count; host_g1/host_g2 (optional) carry the
-    natively-computed sparse windows [w1, w1+len) per query."""
+    natively-computed sparse windows [hw0, hw0+len) per query."""
     p = P.SCALAR_FIELDS[curve].p
     q = P.BASE_FIELDS[curve].p
     ca, cb, cl = corrs
@@ -1395,7 +1398,7 @@ def _finish_native(
     def comb1(i):
         dev = nf.combine_windows(g1w[0][i], g1w[1][i], g1w[2][i], w1, cfg.c)
         if host_g1 is not None:
-            dev = _combine_host_g1(nf, dev, host_g1[i], w1, cfg.c)
+            dev = _combine_host_g1(nf, dev, host_g1[i], hw0, cfg.c)
         return dev
 
     ja = nf.g1_add(comb1(0), _neg_jac(q, nf.g1_mul(gj, ca)))
@@ -1404,7 +1407,7 @@ def _finish_native(
     jh = nf.combine_windows(wh[0], wh[1], wh[2], W, cfg.c)
     jb2_dev = nf2.combine_windows2(w2[0], w2[1], w2[2], w1, cfg.c)
     if host_g2 is not None:
-        jb2_dev = _combine_host_g2(nf2, jb2_dev, host_g2, w1, cfg.c)
+        jb2_dev = _combine_host_g2(nf2, jb2_dev, host_g2, hw0, cfg.c)
     jb2 = nf2.g2_add(jb2_dev, _neg_jac2(q, nf2.g2_mul(g2j, cb)))
 
     al, b1p, dl = pk.alpha_g1, pk.beta_g1, pk.delta_g1
@@ -1484,18 +1487,15 @@ def _prove_core_sorted_batch(curve, pk, dev: R1CSDevice, Z_list, m, n, ni, rs_li
     nf, nf2 = _native_pair(curve)
     Z_np = [np.asarray(zl) for zl in Z_list]
     nnz = np.max([_window_nnz(z, W, cfg.c) for z in Z_np], axis=0)
-    w0, w1, Ks, host = _split_with_host(
+    w0, w1, Ks, hw0, hw1 = _split_with_host(
         [int(v) for v in nnz], W, cfg, N, nf is not None
     )
-    w1_dev = w0 if host else w1
     mark("sparse split (host digits)")
     Z_pad = jnp.asarray(
         np.stack([np.pad(z, ((0, N - m), (0, 0))) for z in Z_np])
     )
     mark("z upload")
-    fn = _fused_prove_batch_fn(
-        curve, N, n, W, cfg, fold, w0, w1_dev, Ks if not host else N, B
-    )
+    fn = _fused_prove_batch_fn(curve, N, n, W, cfg, fold, w0, w1, Ks, B)
     G1o, Ho, B2o, corr = fn(
         *_coo_args(dev), Z_pad, d["fused_g1"], d["fused_h"], d["fused_b2"],
         d["fused_corr"],
@@ -1504,9 +1504,10 @@ def _prove_core_sorted_batch(curve, pk, dev: R1CSDevice, Z_list, m, n, ni, rs_li
 
     # per-proof host sparse windows overlap the device batch walk
     hosts = [None] * B
-    if host:
+    if hw1 > hw0:
         hosts = [
-            _host_sparse_windows(nf, nf2, pk, z, w0, w1, cfg.c) for z in Z_np
+            _host_sparse_windows(nf, nf2, pk, z, hw0, hw1, cfg.c)
+            for z in Z_np
         ]
         mark("host sparse windows x B")
 
@@ -1525,7 +1526,7 @@ def _prove_core_sorted_batch(curve, pk, dev: R1CSDevice, Z_list, m, n, ni, rs_li
             outs.append(
                 _finish_native(
                     curve, pk, nf, nf2, g1w_b, wh_b, w2_b, (ca, cb, cl),
-                    w1_dev, W, cfg, r, s, hg1, hg2,
+                    w1, W, cfg, r, s, hg1, hg2, hw0,
                 )
             )
         else:

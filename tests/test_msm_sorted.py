@@ -218,3 +218,53 @@ def test_msm_sorted_g2():
     yf = Fq2(grp.tower, jy[0], jy[1]) * zi2 * zi
     assert (xf.c0, xf.c1) == (exp.x.c0, exp.x.c1)
     assert (yf.c0, yf.c1) == (exp.y.c0, exp.y.c1)
+
+
+def test_msm_shared_bucket_fixed_base():
+    """Shared-bucket fixed-base plan (_msm_plan_shared): the W window
+    copies 2^(cw) * P_j scatter into ONE bucket space; the walk result is
+    the full MSM directly (no window combine). Validated against the
+    host oracle with full-width scalars."""
+    import jax
+
+    from zokrates_tpu.kernels.msm_sorted import (
+        _fold_override,
+        _msm_from_plan,
+        _msm_plan_shared,
+        combine_windows,
+    )
+
+    n = 64
+    grp, pts, _ = _setup(n=n)
+    rng = np.random.default_rng(3)
+    scalars = [int.from_bytes(rng.bytes(32), "little") % grp.r for _ in range(n)]
+    cfg = MSMConfig(c=8, M1=32, R=2, lw2=8, interpret=True)
+    Wc = _windows(grp.r, cfg.c)
+
+    # pre-shifted copies, w-major: row w*n + j = 2^(cw) * P_j
+    shifted = []
+    for w in range(Wc):
+        sh = pow(2, cfg.c * w, grp.r)
+        shifted.extend(p * sh for p in pts)
+    f = field_ops(grp.q)
+    X = f.encode([p.x for p in shifted])
+    Y = f.encode([p.y for p in shifted])
+    P128 = pack_points(grp.q, X, Y)
+
+    nls = n_limbs(grp.r)
+    S = jnp.asarray(ints_to_limbs(scalars, nls))
+    fold = _fold_override(cfg)
+    plan = _msm_plan_shared(Wc, n, cfg, S)
+    out, _ = _msm_from_plan(
+        grp.q, 1, Wc * n, cfg, P128, plan, True, beta=None, fold=fold
+    )
+    jx, jy, jz = combine_windows(
+        grp.q, grp.r, jax.device_get(out), 1, cfg
+    )
+    exp = _expected(grp, pts, scalars)
+    if jz == 0:
+        assert exp.infinity
+    else:
+        zi = pow(jz, -1, grp.q)
+        got = (jx * zi * zi % grp.q, jy * zi * zi % grp.q * zi % grp.q)
+        assert got == (exp.x, exp.y)

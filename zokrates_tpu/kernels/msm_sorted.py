@@ -749,6 +749,38 @@ def _plan_finish(W, cfg: MSMConfig, sb, sidx):
     return sidx, flags2d, gpos, rec_buck
 
 
+def shared_window_count(r_mod: int, c: int = 16) -> int:
+    """Window count for the shared-bucket fixed-base form (see
+    _msm_plan_shared)."""
+    return _windows(r_mod, c)
+
+
+def _msm_plan_shared(Wc: int, N: int, cfg: MSMConfig, scalars):
+    """Shared-bucket fixed-base plan: one sort over all (window, point)
+    pairs.
+
+    For FIXED bases (the Groth16 h query) the proving key can store the
+    pre-shifted copies 2^(c*w) * P_j; every window's digits then scatter
+    into ONE shared bucket space, so the whole W-window MSM becomes a
+    single-window walk over Wc*N sorted slots — at c=16 that is 16*N
+    walked positions instead of 32*N (c=8 per-window), with one suffix
+    fold over 2^15 buckets (lw2=1024 keeps the fold at full lane
+    occupancy) and NO window combine (the shifts live in the bases).
+
+    scalars: (N, nls) canonical limbs. Returns a plan consumable by
+    _msm_from_plan with W=1 and point array of Wc*N packed rows, where
+    row w*N + j holds 2^(c*w) * P_j."""
+    buckets, signs = _signed_digits(scalars, Wc, cfg.c)  # (Wc, N)
+    idx = (
+        jnp.arange(Wc * N, dtype=jnp.uint32).reshape(Wc, N)
+    )  # global row ids w*N + j
+    payload = idx | (signs << np.uint32(31))
+    flat_b = buckets.reshape(1, Wc * N)
+    flat_p = payload.reshape(1, Wc * N)
+    sb, sidx = jax.lax.sort((flat_b, flat_p), dimension=1, num_keys=1)
+    return _plan_finish(1, cfg, sb, sidx)
+
+
 def _msm_plan_split(W, N, cfg: MSMConfig, scalars, w0: int, Ks: int):
     """Two-group sparse plan. Witness scalar distributions are skewed BY
     WINDOW: window 0 sees every nonzero value's low digit (dense), while

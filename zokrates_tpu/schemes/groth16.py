@@ -114,6 +114,7 @@ class ProvingKey:
         l_mask: np.ndarray,
         corr_w: np.ndarray,
         b2_xy: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+        h16_p128: Optional[np.ndarray] = None,
     ):
         self.curve = curve
         self.domain_size = domain_size
@@ -133,6 +134,10 @@ class ProvingKey:
         self.l_p128 = l_p128
         self.l_mask = l_mask
         self.corr_w = corr_w  # (3, m, nl) Montgomery dummy weights: a, b, l
+        # shared-bucket fixed-base h query: (Wc * N_hw, 128) rows, row
+        # w*N_hw + j = 2^(16w) * h_j (see _msm_plan_shared); None for
+        # large domains or pre-round-5 keys
+        self.h16_p128 = h16_p128
         # wide-field curves (6*nl > 128, e.g. bls12_381 G2) cannot pack
         # G2 rows into the 128-column gather layout: b2_p128 is None and
         # the raw coordinate arrays are kept instead (XLA G2 path only)
@@ -163,6 +168,7 @@ class ProvingKey:
 
     def __setstate__(self, d):
         self.__dict__.update(d)
+        self.__dict__.setdefault("h16_p128", None)
         self._dev = {}
 
     # -- host-point views (MPC ceremony mutates these) ---------------------
@@ -193,6 +199,7 @@ class ProvingKey:
     @h_query.setter
     def h_query(self, pts):
         self.h_p128, _ = _pack_query(self.curve, pts)
+        self.h16_p128 = None  # shifted copies are stale after mutation
         self._dev.clear()
 
     @property
@@ -422,6 +429,24 @@ def setup(r1cs: R1CS, rng=None) -> Tuple[ProvingKey, VerificationKey]:
     b1_p128, _ = _fb_g1(curve, dummied(b_t))
     h_p128, _ = _fb_g1(curve, h_s)
     l_p128, _ = _fb_g1(curve, dummied(l_full))
+
+    # shared-bucket fixed-base form of the h query (kernels/msm_sorted.
+    # _msm_plan_shared): 16 pre-shifted copies 2^(16w) * P_j laid out
+    # w-major over the PADDED MSM tier, so the prover's c=16 digits of
+    # h index rows w*N + j directly. ~0.5 KB/point/window of pk storage
+    # — gated to n <= 2^17 (2^20 domains would need ~8.6 GB)
+    h16_p128 = None
+    if n - 1 <= (1 << 17) and jax.default_backend() == "tpu":
+        from ..kernels.msm_sorted import shared_window_count
+
+        Wc = shared_window_count(p, 16)
+        Nh = _hw_fused_tier(m, n)
+        shifted: List[int] = []
+        for w in range(Wc):
+            sh = pow(2, 16 * w, p)
+            col = [s * sh % p for s in h_s] + [0] * (Nh - (n - 1))
+            shifted.extend(col)
+        h16_p128, _ = _fb_g1(curve, shifted)
     b2x, b2y, _ = _fb_g2(curve, dummied(b_t))
     nlq = n_limbs(P.BASE_FIELDS[curve].p)
     if 6 * nlq <= 128:
@@ -465,6 +490,7 @@ def setup(r1cs: R1CS, rng=None) -> Tuple[ProvingKey, VerificationKey]:
         l_mask=l_mask,
         corr_w=corr_w,
         b2_xy=b2_xy,
+        h16_p128=h16_p128,
     )
     vk = VerificationKey(
         "g16",
@@ -765,6 +791,18 @@ def _msm_tier(n: int) -> int:
     return max(4, _next_pow2(n))
 
 
+def _hw_fused_tier(m: int, n: int) -> int:
+    """The padded point-array size the HARDWARE fused prover uses for a
+    circuit with m variables over an n-domain (pow2 tier rounded to the
+    hardware walk granularity M1*R = 4096). Setup uses this to lay out
+    the shared-bucket h query with the same row stride."""
+    N = max(_msm_tier(m), _msm_tier(n - 1))
+    need = 4096
+    if N % need:
+        N = -(-N // need) * need
+    return N
+
+
 _CORR_JIT: Dict = {}
 
 
@@ -1019,7 +1057,16 @@ def _combine_host_g2(nf2, dev_jac, host_wins, w0: int, c: int):
 _FUSED_JIT: Dict = {}
 
 
-def _fused_prove_fn(curve: str, N: int, n: int, W: int, cfg, fold: bool, w0: int, w1: int, Ks: int):
+def _shared_h_cfg(cfg):
+    """MSMConfig for the shared-bucket h walk: c=16 digits into one
+    2^15-bucket space; lw2=1024 keeps the single-'window' merge and
+    suffix stages at full 1024-lane occupancy."""
+    from ..kernels.msm_sorted import MSMConfig
+
+    return MSMConfig(c=16, M1=cfg.M1, R=cfg.R, lw2=1024, interpret=cfg.interpret)
+
+
+def _fused_prove_fn(curve: str, N: int, n: int, W: int, cfg, fold: bool, w0: int, w1: int, Ks: int, h16: bool = False):
     """ONE jitted program for the whole prove compute: h pipeline, two
     sorted-MSM plans (witness + h scalars), the three witness G1 MSMs as
     a scan over stacked queries (one traced copy), the dense h G1 MSM,
@@ -1035,13 +1082,19 @@ def _fused_prove_fn(curve: str, N: int, n: int, W: int, cfg, fold: bool, w0: int
     witnesses are mostly bits and small values). The witness MSM outputs
     therefore carry only w1 window sums; the host combine starts at
     window w1-1. The h scalars are uniform, so the h MSM stays dense."""
-    key = (curve, N, n, W, cfg, fold, w0, w1, Ks)
+    key = (curve, N, n, W, cfg, fold, w0, w1, Ks, h16)
     fn = _FUSED_JIT.get(key)
     if fn is not None:
         return fn
 
+    from ..kernels.msm_sorted import (
+        _msm_from_plan,
+        _msm_plan,
+        _msm_plan_shared,
+        _msm_plan_split,
+        shared_window_count,
+    )
     from ..fields.jfield import field_ops
-    from ..kernels.msm_sorted import _msm_from_plan, _msm_plan, _msm_plan_split
 
     p = P.SCALAR_FIELDS[curve].p
     q = P.BASE_FIELDS[curve].p
@@ -1051,6 +1104,8 @@ def _fused_prove_fn(curve: str, N: int, n: int, W: int, cfg, fold: bool, w0: int
     h_raw = _H_RAW[(curve, n)]
     chunk = min(N, 1 << 15)  # u32 lazy-sum headroom (16-bit limb terms)
     C = -(-N // chunk)
+    cfgH = _shared_h_cfg(cfg)
+    Wc = shared_window_count(p, 16)
 
     def z_msm(P128_i, plan_d, plan_s, b):
         """Witness-scalar MSM over the split plan -> (w1, nl_eff) sums."""
@@ -1069,19 +1124,31 @@ def _fused_prove_fn(curve: str, N: int, n: int, W: int, cfg, fold: bool, w0: int
             jnp.concatenate([pt[i] for pt in parts], axis=0) for i in range(3)
         )
 
+    def h_msm(qh, h_pad):
+        """h-coefficient MSM: shared-bucket c=16 over the pre-shifted
+        query (ONE window sum) when available, else per-window dense."""
+        if h16:
+            plan_h = _msm_plan_shared(Wc, N, cfgH, h_pad)
+            out_h, _ = _msm_from_plan(
+                q, 1, Wc * N, cfgH, qh, plan_h, True, beta=None, fold=fold
+            )
+            return out_h
+        plan_h = _msm_plan(W, N, cfg, h_pad)
+        out_h, _ = _msm_from_plan(
+            q, W, N, cfg, qh, plan_h, True, beta=None, fold=fold
+        )
+        return out_h
+
     def fused(ar, ac, av, br, bc, bv, cr, cc, cv, z_pad, qg1, qh, qb2, corr_w):
         h = h_raw(ar, ac, av, br, bc, bv, cr, cc, cv, z_pad[None])[0]
         h_pad = jnp.pad(h[: n - 1], ((0, N - (n - 1)), (0, 0)))
         plan_d, plan_s = _msm_plan_split(w1, N, cfg, z_pad, w0, Ks)
-        plan_h = _msm_plan(W, N, cfg, h_pad)
 
         def body(carry, P128_i):
             return carry, z_msm(P128_i, plan_d, plan_s, None)
 
         _, g1outs = jax.lax.scan(body, 0, qg1)
-        out_h, _ = _msm_from_plan(
-            q, W, N, cfg, qh, plan_h, True, beta=None, fold=fold
-        )
+        out_h = h_msm(qh, h_pad)
         out_b2 = z_msm(qb2, plan_d, plan_s, beta)
 
         zm = f.to_mont_(z_pad)
@@ -1100,7 +1167,7 @@ _FUSED_BATCH_JIT: Dict = {}
 
 def _fused_prove_batch_fn(
     curve: str, N: int, n: int, W: int, cfg, fold: bool, w0: int, w1: int,
-    Ks: int, B: int,
+    Ks: int, B: int, h16: bool = False,
 ):
     """Batched fused prove program: B witnesses of one circuit in ONE
     device dispatch (the multi-proof batch axis, SURVEY §2.5 row 4).
@@ -1113,13 +1180,19 @@ def _fused_prove_batch_fn(
     shared with the single-proof program's cache. Window sums for all B
     proofs come back in one fetch; the native host tail finishes each
     proof in ~2 ms."""
-    key = (curve, N, n, W, cfg, fold, w0, w1, Ks, B)
+    key = (curve, N, n, W, cfg, fold, w0, w1, Ks, B, h16)
     fn = _FUSED_BATCH_JIT.get(key)
     if fn is not None:
         return fn
 
     from ..fields.jfield import field_ops
-    from ..kernels.msm_sorted import _msm_from_plan, _msm_plan, _msm_plan_split
+    from ..kernels.msm_sorted import (
+        _msm_from_plan,
+        _msm_plan,
+        _msm_plan_shared,
+        _msm_plan_split,
+        shared_window_count,
+    )
 
     p = P.SCALAR_FIELDS[curve].p
     q = P.BASE_FIELDS[curve].p
@@ -1129,6 +1202,8 @@ def _fused_prove_batch_fn(
     h_raw = _H_RAW[(curve, n)]
     chunk = min(N, 1 << 15)
     C = -(-N // chunk)
+    cfgH = _shared_h_cfg(cfg)
+    Wc = shared_window_count(p, 16)
 
     def z_msm(P128_i, plan_d, plan_s, b):
         parts = []
@@ -1153,7 +1228,12 @@ def _fused_prove_batch_fn(
         plans_w = jax.vmap(lambda zb: _msm_plan_split(w1, N, cfg, zb, w0, Ks))(
             Z_pad
         )
-        plans_h = jax.vmap(lambda hb: _msm_plan(W, N, cfg, hb))(H_pad)
+        if h16:
+            plans_h = jax.vmap(lambda hb: _msm_plan_shared(Wc, N, cfgH, hb))(
+                H_pad
+            )
+        else:
+            plans_h = jax.vmap(lambda hb: _msm_plan(W, N, cfg, hb))(H_pad)
 
         def per_b(carry, xs):
             (plan_d, plan_s), plan_h = xs
@@ -1162,9 +1242,14 @@ def _fused_prove_batch_fn(
                 return c2, z_msm(P128_i, plan_d, plan_s, None)
 
             _, g1outs = jax.lax.scan(body, 0, qg1)
-            out_h, _ = _msm_from_plan(
-                q, W, N, cfg, qh, plan_h, True, beta=None, fold=fold
-            )
+            if h16:
+                out_h, _ = _msm_from_plan(
+                    q, 1, Wc * N, cfgH, qh, plan_h, True, beta=None, fold=fold
+                )
+            else:
+                out_h, _ = _msm_from_plan(
+                    q, W, N, cfg, qh, plan_h, True, beta=None, fold=fold
+                )
             out_b2 = z_msm(qb2, plan_d, plan_s, beta)
             return carry, (g1outs, out_h, out_b2)
 
@@ -1320,6 +1405,8 @@ def _prove_core_sorted(curve, pk, dev: R1CSDevice, z_limbs, m, n, ni, r, s):
     W = _windows(p, cfg.c)
     fold = _fold_override(cfg)
 
+    use_h16 = _use_h16(pk, cfg, p, N)
+
     d = pk.dev()
     if "fused_g1" not in d:
         d["fused_g1"] = jnp.asarray(
@@ -1329,10 +1416,14 @@ def _prove_core_sorted(curve, pk, dev: R1CSDevice, z_limbs, m, n, ni, r, s):
                 _pad_rows(pk.l_p128, N),
             ])
         )
-        d["fused_h"] = jnp.asarray(_pad_rows(pk.h_p128, N))
         d["fused_b2"] = jnp.asarray(_pad_rows(pk.b2_p128, N))
         d["fused_corr"] = jnp.asarray(
             np.pad(pk.corr_w, ((0, 0), (0, N - m), (0, 0)))
+        )
+    hkey = "fused_h16" if use_h16 else "fused_h"
+    if hkey not in d:
+        d[hkey] = jnp.asarray(
+            pk.h16_p128 if use_h16 else _pad_rows(pk.h_p128, N)
         )
 
     mark = _timer()
@@ -1343,9 +1434,9 @@ def _prove_core_sorted(curve, pk, dev: R1CSDevice, z_limbs, m, n, ni, r, s):
     mark("sparse split (host digits)")
     z_pad = jnp.asarray(np.pad(z_np, ((0, N - m), (0, 0))))
     mark("z upload")
-    fn = _fused_prove_fn(curve, N, n, W, cfg, fold, w0, w1, Ks)
+    fn = _fused_prove_fn(curve, N, n, W, cfg, fold, w0, w1, Ks, use_h16)
     g1outs, out_h, out_b2, corr = fn(
-        *_coo_args(dev), z_pad, d["fused_g1"], d["fused_h"], d["fused_b2"],
+        *_coo_args(dev), z_pad, d["fused_g1"], d[hkey], d["fused_b2"],
         d["fused_corr"],
     )
     mark("fused dispatch")
@@ -1363,18 +1454,30 @@ def _prove_core_sorted(curve, pk, dev: R1CSDevice, z_limbs, m, n, ni, r, s):
     mark("device wait+fetch")
     ca, cb, cl = limbs_to_ints(np.asarray(corr_np))
 
+    wh_count = 1 if use_h16 else W
     if nf is not None:
         out = _finish_native(
-            curve, pk, nf, nf2, g1w, wh, w2, (ca, cb, cl), w1, W, cfg,
-            r, s, host_g1, host_g2, hw0,
+            curve, pk, nf, nf2, g1w, wh, w2, (ca, cb, cl), w1, wh_count,
+            cfg, r, s, host_g1, host_g2, hw0,
         )
         mark("host combine+tail (native)")
         return out
     out = _finish_python(
-        curve, pk, g1w, wh, w2, (ca, cb, cl), w1, W, cfg, r, s, beta
+        curve, pk, g1w, wh, w2, (ca, cb, cl), w1, wh_count, cfg, r, s, beta
     )
     mark("host combine+tail")
     return out
+
+
+def _use_h16(pk, cfg, p: int, N: int) -> bool:
+    """Shared-bucket h path: hardware configs only (the interpret tests
+    run the per-window dense form), and only when the pk carries the
+    shifted query at exactly this prover's padded tier."""
+    if cfg.interpret or pk.h16_p128 is None:
+        return False
+    from ..kernels.msm_sorted import shared_window_count
+
+    return pk.h16_p128.shape[0] == shared_window_count(p, 16) * N
 
 
 def _finish_native(
@@ -1468,6 +1571,8 @@ def _prove_core_sorted_batch(curve, pk, dev: R1CSDevice, Z_list, m, n, ni, rs_li
     W = _windows(p, cfg.c)
     fold = _fold_override(cfg)
 
+    use_h16 = _use_h16(pk, cfg, p, N)
+
     d = pk.dev()
     if "fused_g1" not in d:
         d["fused_g1"] = jnp.asarray(
@@ -1477,10 +1582,14 @@ def _prove_core_sorted_batch(curve, pk, dev: R1CSDevice, Z_list, m, n, ni, rs_li
                 _pad_rows(pk.l_p128, N),
             ])
         )
-        d["fused_h"] = jnp.asarray(_pad_rows(pk.h_p128, N))
         d["fused_b2"] = jnp.asarray(_pad_rows(pk.b2_p128, N))
         d["fused_corr"] = jnp.asarray(
             np.pad(pk.corr_w, ((0, 0), (0, N - m), (0, 0)))
+        )
+    hkey = "fused_h16" if use_h16 else "fused_h"
+    if hkey not in d:
+        d[hkey] = jnp.asarray(
+            pk.h16_p128 if use_h16 else _pad_rows(pk.h_p128, N)
         )
 
     mark = _timer()
@@ -1495,9 +1604,11 @@ def _prove_core_sorted_batch(curve, pk, dev: R1CSDevice, Z_list, m, n, ni, rs_li
         np.stack([np.pad(z, ((0, N - m), (0, 0))) for z in Z_np])
     )
     mark("z upload")
-    fn = _fused_prove_batch_fn(curve, N, n, W, cfg, fold, w0, w1, Ks, B)
+    fn = _fused_prove_batch_fn(
+        curve, N, n, W, cfg, fold, w0, w1, Ks, B, use_h16
+    )
     G1o, Ho, B2o, corr = fn(
-        *_coo_args(dev), Z_pad, d["fused_g1"], d["fused_h"], d["fused_b2"],
+        *_coo_args(dev), Z_pad, d["fused_g1"], d[hkey], d["fused_b2"],
         d["fused_corr"],
     )
     mark("fused dispatch")
@@ -1526,14 +1637,14 @@ def _prove_core_sorted_batch(curve, pk, dev: R1CSDevice, Z_list, m, n, ni, rs_li
             outs.append(
                 _finish_native(
                     curve, pk, nf, nf2, g1w_b, wh_b, w2_b, (ca, cb, cl),
-                    w1, W, cfg, r, s, hg1, hg2, hw0,
+                    w1, (1 if use_h16 else W), cfg, r, s, hg1, hg2, hw0,
                 )
             )
         else:
             outs.append(
                 _finish_python(
-                    curve, pk, g1w_b, wh_b, w2_b, (ca, cb, cl), w1, W, cfg,
-                    r, s, beta,
+                    curve, pk, g1w_b, wh_b, w2_b, (ca, cb, cl), w1,
+                    (1 if use_h16 else W), cfg, r, s, beta,
                 )
             )
     mark("host combine+tail x B")

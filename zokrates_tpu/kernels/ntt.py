@@ -44,6 +44,7 @@ class Domain:
         self.ops = field_ops(p)
         self.omega = pow(two_adic_root, 1 << (two_adicity - k), p)
         self.omega_inv = pow(self.omega, -1, p)
+        self.omega_w_root = (two_adic_root, two_adicity)  # for sub-domains
         self.n_inv = pow(n, -1, p)
 
         # stage twiddles, Montgomery form: stage s uses w_m = omega^(n/m),
@@ -96,8 +97,69 @@ class Domain:
         # (or a four-step decomposition over this kernel).
         return 1024 <= self.n <= (1 << 15) and jax.default_backend() == "tpu"
 
+    def _use_four_step(self) -> bool:
+        """Domains above the Pallas kernel's VMEM ceiling decompose into
+        two <= 2^15 sub-transforms (plus one twiddle multiply and three
+        transposes) so the whole-transform kernel still carries the work.
+        TPU-only by default; ZOKRATES_TPU_NTT=four_step forces it (test
+        knob), =xla disables."""
+        import os
+
+        mode = os.environ.get("ZOKRATES_TPU_NTT", "auto")
+        if mode == "four_step":
+            return self.n > (1 << 10)
+        if mode != "auto":
+            return False
+        return self.n > (1 << 15) and jax.default_backend() == "tpu"
+
+    @lru_cache(maxsize=None)
+    def _four_step_parts(self, inverse: bool):
+        """(dom1, dom2, TW) for n = n1 * n2 with balanced halves.
+
+        Derivation (i = i1 + n1*i2, k = k2 + n2*k1, w the n-th root):
+          X[k2 + n2 k1] = FFT_n1( w^(i1 k2) * FFT_n2(x[i1 + n1 i2]) )
+        so: reshape -> n2-transforms (root w^n1 = dom2.omega), twiddle by
+        w^(i1 k2), n1-transforms (root w^n2 = dom1.omega), transpose."""
+        k1 = self.k // 2
+        n1 = 1 << k1
+        n2 = self.n // n1
+        dom1 = Domain(self.p, n1, self.omega_w_root[0], self.omega_w_root[1])
+        dom2 = Domain(self.p, n2, self.omega_w_root[0], self.omega_w_root[1])
+        w = self.omega_inv if inverse else self.omega
+        rr = pow(2, LIMB_BITS * self.ops.nl, self.p)
+        rows = []
+        for i1 in range(n1):
+            base = pow(w, i1, self.p)
+            acc = 1
+            row = []
+            for _ in range(n2):
+                row.append(acc * rr % self.p)
+                acc = acc * base % self.p
+            rows.extend(row)
+        tw = jnp.asarray(ints_to_limbs(rows, self.ops.nl)).reshape(
+            n1, n2, -1
+        )
+        return dom1, dom2, tw
+
+    def _fft_four_step(self, x: jnp.ndarray, inverse: bool) -> jnp.ndarray:
+        f = self.ops
+        n, nl = x.shape[-2], x.shape[-1]
+        lead = x.shape[:-2]
+        dom1, dom2, tw = self._four_step_parts(inverse)
+        n1, n2 = dom1.n, dom2.n
+        xb = x.reshape((-1, n2, n1, nl))          # [b][i2][i1]
+        xt = xb.transpose(0, 2, 1, 3)             # [b][i1][i2]
+        B = dom2._fft_core(xt, dom2._tw_inv if inverse else dom2._tw)
+        B = f.mul_(B, tw[None])                   # w^(i1 k2)
+        Bt = B.transpose(0, 2, 1, 3)              # [b][k2][i1]
+        Ct = dom1._fft_core(Bt, dom1._tw_inv if inverse else dom1._tw)
+        out = Ct.transpose(0, 2, 1, 3).reshape(lead + (n, nl))
+        return out
+
     def _fft_core(self, x: jnp.ndarray, twiddles) -> jnp.ndarray:
         """x: (..., n, nl) Montgomery limbs -> transformed, natural order."""
+        if self._use_four_step():
+            return self._fft_four_step(x, inverse=twiddles is self._tw_inv)
         if self._use_pallas():
             from .ntt_pallas import fft_core_pallas
 

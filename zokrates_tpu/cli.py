@@ -240,12 +240,30 @@ def cmd_generate_proof(args):
     prog = _load_prog(args.input)
     F = prog.field
     m = _scheme_module(args.proving_scheme)
-    with open(args.witness, "rb") as f:
-        witness = Witness.read(f, F)
+    witness_paths = [args.witness] + list(args.extra_witnesses or [])
+    witnesses = []
+    for wp in witness_paths:
+        with open(wp, "rb") as f:
+            witnesses.append(Witness.read(f, F))
     with open(args.proving_key_path, "rb") as f:
         pk = pickle.load(f)
     r1cs = r1cs_from_prog(prog)
-    proof = m.prove(r1cs, pk, witness)
+    if len(witnesses) > 1:
+        # multi-proof batch axis (groth16.prove_batch): one device
+        # dispatch for all witnesses; proof i lands at <proof-path>.<i>
+        if args.proving_scheme != "g16":
+            _err("--also-witness batching is only supported for g16")
+        proofs = m.prove_batch(r1cs, pk, witnesses)
+        for i, proof in enumerate(proofs):
+            path = f"{args.proof_path}.{i}"
+            with open(path, "w") as f:
+                json.dump(proof.to_json(), f, indent=2)
+        print(
+            f"{len(proofs)} proofs written to "
+            f"'{args.proof_path}.0'..'{args.proof_path}.{len(proofs) - 1}'"
+        )
+        return
+    proof = m.prove(r1cs, pk, witnesses[0])
     with open(args.proof_path, "w") as f:
         json.dump(proof.to_json(), f, indent=2)
     print(f"Proof written to '{args.proof_path}'")
@@ -536,6 +554,14 @@ def make_parser():
     c = sub.add_parser("generate-proof", help="Generates a proof")
     c.add_argument("-i", "--input", default="out")
     c.add_argument("-w", "--witness", default="witness")
+    c.add_argument(
+        "--also-witness",
+        dest="extra_witnesses",
+        action="append",
+        metavar="PATH",
+        help="additional witness files: prove all of them as ONE batched "
+        "device dispatch (g16); proof i is written to <proof-path>.<i>",
+    )
     c.add_argument("-p", "--proving-key-path", default="proving.key")
     c.add_argument("-j", "--proof-path", default="proof.json")
     c.add_argument("-s", "--proving-scheme", default="g16", choices=SCHEMES)

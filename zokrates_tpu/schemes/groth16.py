@@ -1140,6 +1140,9 @@ def _fused_prove_fn(curve: str, N: int, n: int, W: int, cfg, fold: bool, w0: int
         return out_h
 
     def fused(ar, ac, av, br, bc, bv, cr, cc, cv, z_pad, qg1, qh, qb2, corr_w):
+        # witness limbs arrive as u16 (halves the host->device transfer
+        # through the axon tunnel); widen on device
+        z_pad = z_pad.astype(jnp.uint32)
         h = h_raw(ar, ac, av, br, bc, bv, cr, cc, cv, z_pad[None])[0]
         h_pad = jnp.pad(h[: n - 1], ((0, N - (n - 1)), (0, 0)))
         plan_d, plan_s = _msm_plan_split(w1, N, cfg, z_pad, w0, Ks)
@@ -1222,6 +1225,8 @@ def _fused_prove_batch_fn(
         )
 
     def fused(ar, ac, av, br, bc, bv, cr, cc, cv, Z_pad, qg1, qh, qb2, corr_w):
+        # witness limbs arrive as u16 (halves the tunnel transfer)
+        Z_pad = Z_pad.astype(jnp.uint32)
         # (B, n, nl) h coefficients; the NTT stack batches across proofs
         H = h_raw(ar, ac, av, br, bc, bv, cr, cc, cv, Z_pad)
         H_pad = jnp.pad(H[:, : n - 1], ((0, 0), (0, N - (n - 1)), (0, 0)))
@@ -1432,7 +1437,7 @@ def _prove_core_sorted(curve, pk, dev: R1CSDevice, z_limbs, m, n, ni, r, s):
     nnz = _window_nnz(z_np, W, cfg.c)
     w0, w1, Ks, hw0, hw1 = _split_with_host(nnz, W, cfg, N, nf is not None)
     mark("sparse split (host digits)")
-    z_pad = jnp.asarray(np.pad(z_np, ((0, N - m), (0, 0))))
+    z_pad = jnp.asarray(np.pad(z_np, ((0, N - m), (0, 0))).astype(np.uint16))
     mark("z upload")
     fn = _fused_prove_fn(curve, N, n, W, cfg, fold, w0, w1, Ks, use_h16)
     g1outs, out_h, out_b2, corr = fn(
@@ -1601,7 +1606,9 @@ def _prove_core_sorted_batch(curve, pk, dev: R1CSDevice, Z_list, m, n, ni, rs_li
     )
     mark("sparse split (host digits)")
     Z_pad = jnp.asarray(
-        np.stack([np.pad(z, ((0, N - m), (0, 0))) for z in Z_np])
+        np.stack(
+            [np.pad(z, ((0, N - m), (0, 0))) for z in Z_np]
+        ).astype(np.uint16)
     )
     mark("z upload")
     fn = _fused_prove_batch_fn(

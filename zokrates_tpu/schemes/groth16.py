@@ -988,6 +988,37 @@ def _split_from_nnz(nnz, W: int, cfg, N: int):
 # costs on the device side
 _HOST_SPARSE_CAP = 4096
 
+# witness-upload exception cap: values wider than one 16-bit limb ride a
+# fixed-size (idx, rows) side channel; bit-decomposed circuits have a
+# handful (sha256: ~30), so the upload shrinks from m*nl*2 bytes to
+# m*2 + CAP*(4 + nl*2) — the axon tunnel makes host->device bytes a
+# real per-proof cost. Witnesses with more wide values upload densely.
+_ZSPARSE_CAP = 1024
+
+
+def _z_upload_parts(z_np: np.ndarray, N: int):
+    """(limb0 (N,) u16, idx (CAP,) i32, rows (CAP, nl) u16) sparse witness
+    upload encoding, or None when too many wide values."""
+    m, nl = z_np.shape
+    wide = np.nonzero((z_np[:, 1:] != 0).any(axis=1))[0]
+    if len(wide) > _ZSPARSE_CAP:
+        return None
+    limb0 = np.zeros(N, np.uint16)
+    limb0[:m] = z_np[:, 0].astype(np.uint16)
+    idx = np.full(_ZSPARSE_CAP, N, np.int32)  # N = out-of-bounds, dropped
+    idx[: len(wide)] = wide
+    rows = np.zeros((_ZSPARSE_CAP, nl), np.uint16)
+    rows[: len(wide)] = z_np[wide].astype(np.uint16)
+    return limb0, idx, rows
+
+
+def _z_rebuild(parts, N: int, nl: int):
+    """Device-side inverse of _z_upload_parts -> (N, nl) u32 limbs."""
+    limb0, idx, rows = parts
+    z = jnp.zeros((N, nl), jnp.uint32)
+    z = z.at[:, 0].set(limb0.astype(jnp.uint32))
+    return z.at[idx].set(rows.astype(jnp.uint32), mode="drop")
+
 
 def _split_with_host(nnz: List[int], W: int, cfg, N: int, native_ok: bool):
     """Returns (w0, w1, Ks, hw0, hw1): (w0, w1, Ks) is the DEVICE window
@@ -1066,7 +1097,7 @@ def _shared_h_cfg(cfg):
     return MSMConfig(c=16, M1=cfg.M1, R=cfg.R, lw2=1024, interpret=cfg.interpret)
 
 
-def _fused_prove_fn(curve: str, N: int, n: int, W: int, cfg, fold: bool, w0: int, w1: int, Ks: int, h16: bool = False):
+def _fused_prove_fn(curve: str, N: int, n: int, W: int, cfg, fold: bool, w0: int, w1: int, Ks: int, h16: bool = False, zsparse: bool = False):
     """ONE jitted program for the whole prove compute: h pipeline, two
     sorted-MSM plans (witness + h scalars), the three witness G1 MSMs as
     a scan over stacked queries (one traced copy), the dense h G1 MSM,
@@ -1082,7 +1113,7 @@ def _fused_prove_fn(curve: str, N: int, n: int, W: int, cfg, fold: bool, w0: int
     witnesses are mostly bits and small values). The witness MSM outputs
     therefore carry only w1 window sums; the host combine starts at
     window w1-1. The h scalars are uniform, so the h MSM stays dense."""
-    key = (curve, N, n, W, cfg, fold, w0, w1, Ks, h16)
+    key = (curve, N, n, W, cfg, fold, w0, w1, Ks, h16, zsparse)
     fn = _FUSED_JIT.get(key)
     if fn is not None:
         return fn
@@ -1139,10 +1170,13 @@ def _fused_prove_fn(curve: str, N: int, n: int, W: int, cfg, fold: bool, w0: int
         )
         return out_h
 
-    def fused(ar, ac, av, br, bc, bv, cr, cc, cv, z_pad, qg1, qh, qb2, corr_w):
-        # witness limbs arrive as u16 (halves the host->device transfer
-        # through the axon tunnel); widen on device
-        z_pad = z_pad.astype(jnp.uint32)
+    def fused(ar, ac, av, br, bc, bv, cr, cc, cv, z_in, qg1, qh, qb2, corr_w):
+        # witness limbs arrive as u16 — sparse (limb0 + wide-value
+        # exceptions) or dense — to cut the axon tunnel transfer
+        if zsparse:
+            z_pad = _z_rebuild(z_in, N, f.nl)
+        else:
+            z_pad = z_in.astype(jnp.uint32)
         h = h_raw(ar, ac, av, br, bc, bv, cr, cc, cv, z_pad[None])[0]
         h_pad = jnp.pad(h[: n - 1], ((0, N - (n - 1)), (0, 0)))
         plan_d, plan_s = _msm_plan_split(w1, N, cfg, z_pad, w0, Ks)
@@ -1170,7 +1204,7 @@ _FUSED_BATCH_JIT: Dict = {}
 
 def _fused_prove_batch_fn(
     curve: str, N: int, n: int, W: int, cfg, fold: bool, w0: int, w1: int,
-    Ks: int, B: int, h16: bool = False,
+    Ks: int, B: int, h16: bool = False, zsparse: bool = False,
 ):
     """Batched fused prove program: B witnesses of one circuit in ONE
     device dispatch (the multi-proof batch axis, SURVEY §2.5 row 4).
@@ -1183,7 +1217,7 @@ def _fused_prove_batch_fn(
     shared with the single-proof program's cache. Window sums for all B
     proofs come back in one fetch; the native host tail finishes each
     proof in ~2 ms."""
-    key = (curve, N, n, W, cfg, fold, w0, w1, Ks, B, h16)
+    key = (curve, N, n, W, cfg, fold, w0, w1, Ks, B, h16, zsparse)
     fn = _FUSED_BATCH_JIT.get(key)
     if fn is not None:
         return fn
@@ -1224,9 +1258,12 @@ def _fused_prove_batch_fn(
             jnp.concatenate([pt[i] for pt in parts], axis=0) for i in range(3)
         )
 
-    def fused(ar, ac, av, br, bc, bv, cr, cc, cv, Z_pad, qg1, qh, qb2, corr_w):
-        # witness limbs arrive as u16 (halves the tunnel transfer)
-        Z_pad = Z_pad.astype(jnp.uint32)
+    def fused(ar, ac, av, br, bc, bv, cr, cc, cv, Z_in, qg1, qh, qb2, corr_w):
+        # witness limbs arrive as u16 — sparse or dense (see single fn)
+        if zsparse:
+            Z_pad = jax.vmap(lambda pp: _z_rebuild(pp, N, f.nl))(Z_in)
+        else:
+            Z_pad = Z_in.astype(jnp.uint32)
         # (B, n, nl) h coefficients; the NTT stack batches across proofs
         H = h_raw(ar, ac, av, br, bc, bv, cr, cc, cv, Z_pad)
         H_pad = jnp.pad(H[:, : n - 1], ((0, 0), (0, N - (n - 1)), (0, 0)))
@@ -1437,11 +1474,19 @@ def _prove_core_sorted(curve, pk, dev: R1CSDevice, z_limbs, m, n, ni, r, s):
     nnz = _window_nnz(z_np, W, cfg.c)
     w0, w1, Ks, hw0, hw1 = _split_with_host(nnz, W, cfg, N, nf is not None)
     mark("sparse split (host digits)")
-    z_pad = jnp.asarray(np.pad(z_np, ((0, N - m), (0, 0))).astype(np.uint16))
+    parts = _z_upload_parts(z_np, N)
+    if parts is not None:
+        z_in = tuple(jnp.asarray(a) for a in parts)
+    else:
+        z_in = jnp.asarray(
+            np.pad(z_np, ((0, N - m), (0, 0))).astype(np.uint16)
+        )
     mark("z upload")
-    fn = _fused_prove_fn(curve, N, n, W, cfg, fold, w0, w1, Ks, use_h16)
+    fn = _fused_prove_fn(
+        curve, N, n, W, cfg, fold, w0, w1, Ks, use_h16, parts is not None
+    )
     g1outs, out_h, out_b2, corr = fn(
-        *_coo_args(dev), z_pad, d["fused_g1"], d[hkey], d["fused_b2"],
+        *_coo_args(dev), z_in, d["fused_g1"], d[hkey], d["fused_b2"],
         d["fused_corr"],
     )
     mark("fused dispatch")
@@ -1605,17 +1650,26 @@ def _prove_core_sorted_batch(curve, pk, dev: R1CSDevice, Z_list, m, n, ni, rs_li
         [int(v) for v in nnz], W, cfg, N, nf is not None
     )
     mark("sparse split (host digits)")
-    Z_pad = jnp.asarray(
-        np.stack(
-            [np.pad(z, ((0, N - m), (0, 0))) for z in Z_np]
-        ).astype(np.uint16)
-    )
+    parts_list = [_z_upload_parts(z, N) for z in Z_np]
+    if all(pp is not None for pp in parts_list):
+        Z_in = tuple(
+            jnp.asarray(np.stack([pp[i] for pp in parts_list]))
+            for i in range(3)
+        )
+        zsparse = True
+    else:
+        Z_in = jnp.asarray(
+            np.stack(
+                [np.pad(z, ((0, N - m), (0, 0))) for z in Z_np]
+            ).astype(np.uint16)
+        )
+        zsparse = False
     mark("z upload")
     fn = _fused_prove_batch_fn(
-        curve, N, n, W, cfg, fold, w0, w1, Ks, B, use_h16
+        curve, N, n, W, cfg, fold, w0, w1, Ks, B, use_h16, zsparse
     )
     G1o, Ho, B2o, corr = fn(
-        *_coo_args(dev), Z_pad, d["fused_g1"], d[hkey], d["fused_b2"],
+        *_coo_args(dev), Z_in, d["fused_g1"], d[hkey], d["fused_b2"],
         d["fused_corr"],
     )
     mark("fused dispatch")

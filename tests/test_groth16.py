@@ -203,3 +203,48 @@ class TestGroth16:
         proof2 = Proof.from_json(json.loads(blob))
         vk2 = VerificationKey.from_json(json.loads(json.dumps(vk.to_json())))
         assert groth16.verify(vk2, proof2)
+
+
+class TestWitnessSplit:
+    """Window-split planning (device tiers + native host windows)."""
+
+    def _cfg(self):
+        from zokrates_tpu.kernels.msm_sorted import MSMConfig
+
+        return MSMConfig(c=8, M1=1024, R=4, lw2=128)
+
+    def test_sha256_profile_host_split(self):
+        from zokrates_tpu.schemes.groth16 import _split_with_host
+
+        nnz = [12435, 8, 8, 8, 6] + [0] * 27
+        w0, w1, Ks, hw0, hw1 = _split_with_host(nnz, 32, self._cfg(), 32768, True)
+        # device: window 0 at its 16384 tier; host: windows 1..4
+        assert (w0, w1, Ks, hw0, hw1) == (0, 1, 16384, 1, 5)
+
+    def test_no_native_falls_back_to_device_split(self):
+        from zokrates_tpu.schemes.groth16 import _split_with_host
+
+        nnz = [12435, 8, 8, 8, 6] + [0] * 27
+        w0, w1, Ks, hw0, hw1 = _split_with_host(nnz, 32, self._cfg(), 32768, False)
+        assert (hw0, hw1) == (0, 0) and w1 >= 5 and Ks >= 8
+
+    def test_uniform_scalars_stay_on_device(self):
+        from zokrates_tpu.schemes.groth16 import _split_with_host
+
+        nnz = [32000] * 32
+        w0, w1, Ks, hw0, hw1 = _split_with_host(nnz, 32, self._cfg(), 32768, True)
+        assert (hw0, hw1) == (0, 0) and w1 == 32
+
+    def test_host_cap_respected(self):
+        from zokrates_tpu.schemes.groth16 import (
+            _HOST_SPARSE_CAP,
+            _split_with_host,
+        )
+
+        # tail windows sum beyond the cap: only the affordable suffix
+        # goes to the host
+        nnz = [30000, 5000, 3000, 3000, 900, 200, 40, 8] + [0] * 24
+        w0, w1, Ks, hw0, hw1 = _split_with_host(nnz, 32, self._cfg(), 32768, True)
+        if hw1 > hw0:
+            assert sum(nnz[hw0:hw1]) <= _HOST_SPARSE_CAP
+            assert max(nnz[w0:w1] or [0]) <= Ks

@@ -1181,10 +1181,18 @@ def _fused_prove_fn(curve: str, N: int, n: int, W: int, cfg, fold: bool, w0: int
         h_pad = jnp.pad(h[: n - 1], ((0, N - (n - 1)), (0, 0)))
         plan_d, plan_s = _msm_plan_split(w1, N, cfg, z_pad, w0, Ks)
 
-        def body(carry, P128_i):
-            return carry, z_msm(P128_i, plan_d, plan_s, None)
+        if os.environ.get("ZOKRATES_TPU_FUSED_EAGER") == "1":
+            gl = [
+                z_msm(qg1[i], plan_d, plan_s, None)
+                for i in range(qg1.shape[0])
+            ]
+            g1outs = tuple(jnp.stack([g[i] for g in gl]) for i in range(3))
+        else:
 
-        _, g1outs = jax.lax.scan(body, 0, qg1)
+            def body(carry, P128_i):
+                return carry, z_msm(P128_i, plan_d, plan_s, None)
+
+            _, g1outs = jax.lax.scan(body, 0, qg1)
         out_h = h_msm(qh, h_pad)
         out_b2 = z_msm(qb2, plan_d, plan_s, beta)
 
@@ -1194,6 +1202,12 @@ def _fused_prove_fn(curve: str, N: int, n: int, W: int, cfg, fold: bool, w0: int
         corr = f.from_mont_(f.reduce_wide_(jnp.sum(s1, axis=1)))
         return g1outs, out_h, out_b2, corr
 
+    # ZOKRATES_TPU_FUSED_EAGER=1: run the pipeline op-by-op instead of as
+    # one jitted program — XLA:CPU takes hours to compile the fused graph
+    # with interpret-mode Pallas calls inlined, while eager interpret
+    # executes it in minutes (CPU validation only; hardware always jits)
+    if os.environ.get("ZOKRATES_TPU_FUSED_EAGER") == "1":
+        return fused
     fn = jax.jit(fused)
     _FUSED_JIT[key] = fn
     return fn
@@ -1258,24 +1272,78 @@ def _fused_prove_batch_fn(
             jnp.concatenate([pt[i] for pt in parts], axis=0) for i in range(3)
         )
 
+    eager = os.environ.get("ZOKRATES_TPU_FUSED_EAGER") == "1"
+
+    def make_plan_h(hb):
+        if h16:
+            return _msm_plan_shared(Wc, N, cfgH, hb)
+        return _msm_plan(W, N, cfg, hb)
+
+    def run_h(qh, plan_h):
+        if h16:
+            out_h, _ = _msm_from_plan(
+                q, 1, Wc * N, cfgH, qh, plan_h, True, beta=None, fold=fold
+            )
+        else:
+            out_h, _ = _msm_from_plan(
+                q, W, N, cfg, qh, plan_h, True, beta=None, fold=fold
+            )
+        return out_h
+
+    def corr_b(corr_w, zb):
+        zm = f.to_mont_(zb)
+        prod = f.mul_(corr_w, jnp.broadcast_to(zm[None], corr_w.shape))
+        s1 = f.reduce_wide_(jnp.sum(prod.reshape(3, C, chunk, -1), axis=2))
+        return f.from_mont_(f.reduce_wide_(jnp.sum(s1, axis=1)))
+
     def fused(ar, ac, av, br, bc, bv, cr, cc, cv, Z_in, qg1, qh, qb2, corr_w):
         # witness limbs arrive as u16 — sparse or dense (see single fn)
         if zsparse:
-            Z_pad = jax.vmap(lambda pp: _z_rebuild(pp, N, f.nl))(Z_in)
+            if eager:
+                Z_pad = jnp.stack(
+                    [
+                        _z_rebuild(tuple(a[b] for a in Z_in), N, f.nl)
+                        for b in range(B)
+                    ]
+                )
+            else:
+                Z_pad = jax.vmap(lambda pp: _z_rebuild(pp, N, f.nl))(Z_in)
         else:
             Z_pad = Z_in.astype(jnp.uint32)
         # (B, n, nl) h coefficients; the NTT stack batches across proofs
         H = h_raw(ar, ac, av, br, bc, bv, cr, cc, cv, Z_pad)
         H_pad = jnp.pad(H[:, : n - 1], ((0, 0), (0, N - (n - 1)), (0, 0)))
+
+        if eager:
+            # op-by-op CPU validation path: Python loops instead of
+            # scan/vmap (their bodies would XLA-compile the inlined
+            # interpret-mode Pallas calls — hours on XLA:CPU)
+            G1o_l, Ho_l, B2o_l, corr_l = [], [], [], []
+            for b in range(B):
+                plan_d, plan_s = _msm_plan_split(w1, N, cfg, Z_pad[b], w0, Ks)
+                plan_h = make_plan_h(H_pad[b])
+                g1outs = [
+                    z_msm(qg1[i], plan_d, plan_s, None)
+                    for i in range(qg1.shape[0])
+                ]
+                G1o_l.append(
+                    tuple(
+                        jnp.stack([g[i] for g in g1outs]) for i in range(3)
+                    )
+                )
+                Ho_l.append(run_h(qh, plan_h))
+                B2o_l.append(z_msm(qb2, plan_d, plan_s, beta))
+                corr_l.append(corr_b(corr_w, Z_pad[b]))
+            G1o = tuple(jnp.stack([g[i] for g in G1o_l]) for i in range(3))
+            Ho = tuple(jnp.stack([h_[i] for h_ in Ho_l]) for i in range(3))
+            B2o = tuple(jnp.stack([b_[i] for b_ in B2o_l]) for i in range(3))
+            corr = jnp.stack(corr_l)
+            return G1o, Ho, B2o, corr
+
         plans_w = jax.vmap(lambda zb: _msm_plan_split(w1, N, cfg, zb, w0, Ks))(
             Z_pad
         )
-        if h16:
-            plans_h = jax.vmap(lambda hb: _msm_plan_shared(Wc, N, cfgH, hb))(
-                H_pad
-            )
-        else:
-            plans_h = jax.vmap(lambda hb: _msm_plan(W, N, cfg, hb))(H_pad)
+        plans_h = jax.vmap(make_plan_h)(H_pad)
 
         def per_b(carry, xs):
             (plan_d, plan_s), plan_h = xs
@@ -1284,34 +1352,19 @@ def _fused_prove_batch_fn(
                 return c2, z_msm(P128_i, plan_d, plan_s, None)
 
             _, g1outs = jax.lax.scan(body, 0, qg1)
-            if h16:
-                out_h, _ = _msm_from_plan(
-                    q, 1, Wc * N, cfgH, qh, plan_h, True, beta=None, fold=fold
-                )
-            else:
-                out_h, _ = _msm_from_plan(
-                    q, W, N, cfg, qh, plan_h, True, beta=None, fold=fold
-                )
+            out_h = run_h(qh, plan_h)
             out_b2 = z_msm(qb2, plan_d, plan_s, beta)
             return carry, (g1outs, out_h, out_b2)
 
         _, (G1o, Ho, B2o) = jax.lax.scan(per_b, 0, (plans_w, plans_h))
-
-        def corr_b(zb):
-            zm = f.to_mont_(zb)
-            prod = f.mul_(corr_w, jnp.broadcast_to(zm[None], corr_w.shape))
-            s1 = f.reduce_wide_(jnp.sum(prod.reshape(3, C, chunk, -1), axis=2))
-            return f.from_mont_(f.reduce_wide_(jnp.sum(s1, axis=1)))
-
-        corr = jax.vmap(corr_b)(Z_pad)
+        corr = jax.vmap(lambda zb: corr_b(corr_w, zb))(Z_pad)
         return G1o, Ho, B2o, corr
 
+    if eager:
+        return fused
     fn = jax.jit(fused)
     _FUSED_BATCH_JIT[key] = fn
     return fn
-
-
-_WLIMB_CACHE: Dict = {}
 
 
 def _witness_limbs(r1cs: R1CS, witness: Witness, p: int, nls: int) -> np.ndarray:
@@ -1331,7 +1384,9 @@ def _witness_limbs(r1cs: R1CS, witness: Witness, p: int, nls: int) -> np.ndarray
 
     if va is None or vals is None or vals.shape[1] != 2 * nls:
         return slow()
-    cached = _WLIMB_CACHE.get(id(r1cs))
+    # the (dense, rows) mapping lives ON the r1cs object (an id()-keyed
+    # dict would alias a new r1cs allocated at a recycled address)
+    cached = getattr(r1cs, "_wlimb_map", None)
     if cached is None or not np.array_equal(cached[0], va):
         ir_vars = np.fromiter(r1cs.ir_to_dense.keys(), dtype=np.int64)
         dense = np.fromiter(r1cs.ir_to_dense.values(), dtype=np.int64)
@@ -1342,7 +1397,7 @@ def _witness_limbs(r1cs: R1CS, witness: Witness, p: int, nls: int) -> np.ndarray
 
         p16 = int_to_limbs(p, nls)
         cached = (va.copy(), dense, rows, p16)
-        _WLIMB_CACHE[id(r1cs)] = cached
+        r1cs._wlimb_map = cached
     _, dense, rows, p16 = cached
     w16 = np.ascontiguousarray(vals).view("<u2").astype(np.uint32)
     # exact range check vs p (most-significant-limb-first lexicographic)

@@ -534,12 +534,26 @@ def _pad_pairs(pairs):
 
 
 def _msm_g1(curve: str, points: List[Optional[Tuple[int, int]]], scalars: List[int], c: int = None) -> PointG1:
-    """Device G1 MSM over host point lists; drops None points (zero polys)."""
+    """Device G1 MSM over host point lists; drops None points (zero polys).
+
+    Dispatches through _msm_packed_g1, so GM17/Marlin/KZG/MPC proves ride
+    the sorted Pallas kernel on TPU (the XLA Pippenger remains the CPU
+    path)."""
     grp = g1_group(curve)
     pairs = [(pt, s % grp.r) for pt, s in zip(points, scalars) if pt is not None and s % grp.r != 0]
     if not pairs:
         return grp.zero()
     pairs = _pad_pairs(pairs)
+    if _msm_backend() == "sorted":
+        from ..fields.jfield import field_ops
+        from ..kernels.msm_sorted import pack_points
+
+        f = field_ops(grp.q)
+        X = f.encode([pt[0] for pt, _ in pairs])
+        Y = f.encode([pt[1] for pt, _ in pairs])
+        P128 = pack_points(grp.q, X, Y)
+        S = jnp.asarray(ints_to_limbs([s for _, s in pairs], n_limbs(grp.r)))
+        return _msm_packed_g1(curve, P128, S)
     c = c or _auto_c(len(pairs))
     ops = curve_ops(grp.q)
     Px = ops.f.encode([pt[0] for pt, _ in pairs])
@@ -572,6 +586,10 @@ def _msm_g2(curve: str, points: List[Optional[object]], scalars: List[int], c: i
     Py = ops.f.encode([(pt.y.c0, pt.y.c1) for pt, _ in pairs])
     nls = n_limbs(grp.r)
     S = jnp.asarray(ints_to_limbs([s for _, s in pairs], nls))
+    nlq = n_limbs(grp.q)
+    if _msm_backend() == "sorted" and 6 * nlq <= 128:
+        # _msm_dev_g2 carries the Fq2 sorted-walk dispatch
+        return _msm_dev_g2(curve, Px, Py, S)
     res = msm_jit(ops, c)(Px, Py, S)
     aff = ops.to_affine_ints((res[0][None], res[1][None], res[2][None]))[0]
     if aff is None:

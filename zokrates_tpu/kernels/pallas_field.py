@@ -664,153 +664,3 @@ def _mixed_add_inline(F, cur, Qx, Qy, with_double: bool = True):
     return X3, Y3, Z3, is_double
 
 
-def msm_accumulate_factory(
-    p: int, n_buckets: int, n_windows: int, n_chunks: int, TG: int, G: int,
-    with_double: bool = False,
-):
-    """Accumulation kernel: grid (TG,) steps of G points per lane-group;
-    scratch bucket tables persist across the sequential grid. The final
-    step performs the weighted suffix bucket reduction in-kernel (fori over
-    buckets, two complete Jacobian adds per iteration) so only the W*CH
-    per-window sums ever leave the device.
-
-    with_double=False is the fast path: the bucket += point add skips the
-    doubling branch and raises the `flag` output on any bucket == point
-    collision; the caller reruns with the complete (with_double=True)
-    kernel in that (practically never hit) case."""
-    F = _F(p)
-    nl = F.nl
-    lanes = n_windows * n_chunks
-
-    def kernel(d_ref, qx_ref, qy_ref, out_ref, flag_ref, scratch, fscratch):
-        F.prep(lanes)
-        t = pl.program_id(0)
-
-        @pl.when(t == 0)
-        def _():
-            one = jnp.concatenate(
-                [jnp.full((1, lanes), v, jnp.uint32) for v in F.r_rows], axis=0
-            )
-            zero = jnp.zeros((nl, lanes), jnp.uint32)
-            for b in range(n_buckets):
-                scratch[b, 0] = one
-                scratch[b, 1] = one
-                scratch[b, 2] = zero
-            fscratch[...] = jnp.zeros((1, lanes), jnp.uint32)
-
-        for g in range(G):
-            d = d_ref[0, 0, g : g + 1]                            # (1, lanes)
-            qsx = qx_ref[0][:, g * n_chunks : (g + 1) * n_chunks]  # (nl, CH)
-            qsy = qy_ref[0][:, g * n_chunks : (g + 1) * n_chunks]
-            Qx = _split(jnp.concatenate([qsx] * n_windows, axis=1), nl)
-            Qy = _split(jnp.concatenate([qsy] * n_windows, axis=1), nl)
-
-            curX = [jnp.zeros_like(d) for _ in range(nl)]
-            curY = [jnp.zeros_like(d) for _ in range(nl)]
-            curZ = [jnp.zeros_like(d) for _ in range(nl)]
-            for b in range(1, n_buckets):
-                hit = d == np.uint32(b)
-                bx = scratch[b, 0]
-                by = scratch[b, 1]
-                bz = scratch[b, 2]
-                for i in range(nl):
-                    curX[i] = jnp.where(hit, bx[i : i + 1], curX[i])
-                    curY[i] = jnp.where(hit, by[i : i + 1], curY[i])
-                    curZ[i] = jnp.where(hit, bz[i : i + 1], curZ[i])
-
-            nX, nY, nZ, is_dbl = _mixed_add_inline(
-                F, (curX, curY, curZ), Qx, Qy, with_double=with_double
-            )
-            if not with_double:
-                live = d != np.uint32(0)
-                fscratch[...] = fscratch[...] | jnp.where(
-                    jnp.logical_and(is_dbl, live), np.uint32(1), np.uint32(0)
-                )
-            jX, jY, jZ = _join(nX), _join(nY), _join(nZ)
-            for b in range(1, n_buckets):
-                hit = d == np.uint32(b)
-                scratch[b, 0] = jnp.where(hit, jX, scratch[b, 0])
-                scratch[b, 1] = jnp.where(hit, jY, scratch[b, 1])
-                scratch[b, 2] = jnp.where(hit, jZ, scratch[b, 2])
-
-        @pl.when(t == TG - 1)
-        def _():
-            flag_ref[...] = fscratch[...]
-            one = jnp.concatenate(
-                [jnp.full((1, lanes), v, jnp.uint32) for v in F.r_rows], axis=0
-            )
-            zero = jnp.zeros((nl, lanes), jnp.uint32)
-
-            def body(j, carry):
-                aX, aY, aZ, wX, wY, wZ = carry
-                b = n_buckets - 1 - j
-                tb = scratch[pl.ds(b, 1)]                          # (1,3,nl,lanes)
-                S = (_split(tb[0, 0], nl), _split(tb[0, 1], nl), _split(tb[0, 2], nl))
-                aX2, aY2, aZ2 = _general_add(
-                    F, (_split(aX, nl), _split(aY, nl), _split(aZ, nl)), S
-                )
-                wX2, wY2, wZ2 = _general_add(
-                    F, (_split(wX, nl), _split(wY, nl), _split(wZ, nl)), (aX2, aY2, aZ2)
-                )
-                return (
-                    _join(aX2), _join(aY2), _join(aZ2),
-                    _join(wX2), _join(wY2), _join(wZ2),
-                )
-
-            init = (one, one, zero, one, one, zero)
-            _, _, _, wX, wY, wZ = jax.lax.fori_loop(0, n_buckets - 1, body, init)
-            out_ref[0] = wX
-            out_ref[1] = wY
-            out_ref[2] = wZ
-
-    return kernel
-
-
-_ACC2_CACHE = {}
-
-
-def msm_pallas_window_sums(
-    p: int,
-    digits,  # (TG, 1, G, lanes)
-    Qx,      # (TG, nl, G * n_chunks)
-    Qy,
-    n_buckets: int,
-    n_windows: int,
-    n_chunks: int,
-    G: int,
-    with_double: bool = False,
-):
-    """Accumulation + in-kernel weighted bucket reduction: returns the
-    per-lane weighted window sums (3, nl, lanes) in Montgomery limbs plus
-    the doubling-collision flag vector (1, lanes) — nonzero means rerun
-    with with_double=True (see msm_accumulate_factory)."""
-    nl = field_spec(p).nl
-    TG = digits.shape[0]
-    lanes = n_windows * n_chunks
-    akey = (p, n_buckets, n_windows, n_chunks, TG, G, with_double)
-    if akey not in _ACC2_CACHE:
-        kernel = msm_accumulate_factory(
-            p, n_buckets, n_windows, n_chunks, TG, G, with_double=with_double
-        )
-        _ACC2_CACHE[akey] = pl.pallas_call(
-            kernel,
-            grid=(TG,),
-            in_specs=[
-                pl.BlockSpec((1, 1, G, lanes), lambda t: (t, 0, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, nl, G * n_chunks), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, nl, G * n_chunks), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
-            ],
-            out_shape=(
-                jax.ShapeDtypeStruct((3, nl, lanes), jnp.uint32),
-                jax.ShapeDtypeStruct((1, lanes), jnp.uint32),
-            ),
-            out_specs=(
-                pl.BlockSpec((3, nl, lanes), lambda t: (0, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, lanes), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            ),
-            scratch_shapes=[
-                pltpu.VMEM((n_buckets, 3, nl, lanes), jnp.uint32),
-                pltpu.VMEM((1, lanes), jnp.uint32),
-            ],
-        )
-    return _ACC2_CACHE[akey](digits, Qx, Qy)  # ((3, nl, lanes), (1, lanes))

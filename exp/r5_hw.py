@@ -68,15 +68,8 @@ if pk is None:
         pickle.dump((code_tag, pk, vk), f)
 print(f"h16: {None if pk.h16_p128 is None else pk.h16_p128.shape}", flush=True)
 
-t0 = time.time()
-proof = G.prove(r1cs, pk, wits[0])
-print(f"single prove compile: {time.time()-t0:.0f}s", flush=True)
-assert G.verify(vk, proof), "single proof failed"
-for i in range(3):
-    t0 = time.time()
-    proof = G.prove(r1cs, pk, wits[0])
-    print(f"single steady {i}: {(time.time()-t0)*1e3:.0f} ms", flush=True)
-
+# batch first: it is bench.py's measured path — if the round runs out of
+# TPU time, at least its compiles are cached
 t0 = time.time()
 proofs = G.prove_batch(r1cs, pk, wits)
 print(f"batch B=8 compile: {time.time()-t0:.0f}s", flush=True)
@@ -92,3 +85,13 @@ for i in range(3):
         f"{8/dt:.2f} proofs/s)",
         flush=True,
     )
+
+if os.environ.get("R5_SKIP_SINGLE") != "1":
+    t0 = time.time()
+    proof = G.prove(r1cs, pk, wits[0])
+    print(f"single prove compile: {time.time()-t0:.0f}s", flush=True)
+    assert G.verify(vk, proof), "single proof failed"
+    for i in range(3):
+        t0 = time.time()
+        proof = G.prove(r1cs, pk, wits[0])
+        print(f"single steady {i}: {(time.time()-t0)*1e3:.0f} ms", flush=True)

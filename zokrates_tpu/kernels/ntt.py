@@ -59,13 +59,21 @@ class Domain:
             rev = (rev << 1) | ((idx >> b) & 1)
         self.bitrev = jnp.asarray(rev.astype(np.int32))
 
-        self.n_inv_mont = self.ops.encode_scalar(self.n_inv)
+        rr = pow(2, LIMB_BITS * self.ops.nl, self.p)
+        self.n_inv_mont = jnp.asarray(
+            ints_to_limbs([self.n_inv * rr % self.p], self.ops.nl)
+        )[0]
         self.fft_jit = jax.jit(self.fft)
         self.ifft_jit = jax.jit(self.ifft)
         self.coset_fft_jit = jax.jit(self.coset_fft, static_argnums=1)
         self.coset_ifft_jit = jax.jit(self.coset_ifft, static_argnums=1)
 
     def _make_twiddles(self, omega: int):
+        # host-computed Montgomery limbs (NOT ops.encode, a jitted device
+        # call): Domains are sometimes constructed lazily inside a jit
+        # trace (_four_step_parts), where device ops would return tracers
+        # and poison the twiddle cache — see _coset_powers below.
+        rr = pow(2, LIMB_BITS * self.ops.nl, self.p)
         tws = []
         for s in range(self.k):
             m = 1 << (s + 1)
@@ -73,9 +81,9 @@ class Domain:
             powers = []
             acc = 1
             for _ in range(m // 2):
-                powers.append(acc)
+                powers.append(acc * rr % self.p)
                 acc = acc * w_m % self.p
-            tws.append(self.ops.encode(powers))  # (m/2, nl) Montgomery
+            tws.append(jnp.asarray(ints_to_limbs(powers, self.ops.nl)))
         return tws
 
     # -- transforms --------------------------------------------------------

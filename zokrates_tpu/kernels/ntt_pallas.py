@@ -118,19 +118,29 @@ def _tw_tables(dom, inverse: bool):
     key = (dom.p, dom.n, inverse)
     t = _TW_CACHE.get(key)
     if t is None:
+        # computed ENTIRELY on the host from ints: this cache is populated
+        # lazily, possibly while tracing the fused prover — device ops here
+        # (e.g. ops.encode, a jitted call) would return tracers and poison
+        # the cache (same failure mode as Domain._coset_powers, ntt.py).
+        from ..fields.limbs import LIMB_BITS, ints_to_limbs
+
         nl = dom.ops.nl
-        n = dom.n
-        stage_tw = dom._tw_inv if inverse else dom._tw
-        one = np.asarray(
-            jax.device_get(dom.ops.encode([1])), dtype=np.uint32
-        )  # (1, nl) Montgomery 1
+        p, n = dom.p, dom.n
+        rr = pow(2, LIMB_BITS * nl, p)  # Montgomery factor
+        omega = dom.omega_inv if inverse else dom.omega
         rows = []
         for s in range(dom.k):
             d = 1 << s
             m = 2 * d
-            tws = np.asarray(jax.device_get(stage_tw[s]), dtype=np.uint32)  # (d, nl)
-            group = np.concatenate([np.broadcast_to(one, (d, nl)), tws], axis=0)
-            full = np.tile(group, (n // m, 1))  # (n, nl)
+            w_m = pow(omega, n // m, p)
+            group = [rr] * d  # Montgomery 1 on the low half
+            acc = 1
+            for _ in range(d):
+                group.append(acc * rr % p)
+                acc = acc * w_m % p
+            full = np.asarray(
+                ints_to_limbs(group * (n // m), nl), dtype=np.uint32
+            )  # (n, nl)
             rows.append(full.reshape(n // 128, 128, nl).transpose(2, 0, 1))
         t = jnp.asarray(np.stack(rows))  # (k, nl, S, 128)
         _TW_CACHE[key] = t

@@ -323,25 +323,63 @@ def cmd_generate_smtlib2(args):
 
 
 
+def _mpc_load(path: str, curve: str):
+    """Load an MPC params file: phase2 byte format (reference-compatible,
+    produced by mpc-init --radix-path) or our pickle container. phase2
+    files start with an uncompressed G1 point; pickles with \\x80."""
+    with open(path, "rb") as f:
+        head = f.read(1)
+        f.seek(0)
+        if head == b"\x80":
+            return pickle.load(f), "native"
+        from .interop import bellman_mpc
+
+        return bellman_mpc.MPCParameters.read(curve, f), "phase2"
+
+
+def _mpc_save(params, fmt: str, path: str):
+    with open(path, "wb") as f:
+        if fmt == "phase2":
+            params.write(f)
+        else:
+            pickle.dump(params, f)
+
+
 def cmd_mpc_init(args):
     from .ir.r1cs import r1cs_from_prog
     from .schemes import mpc
 
     prog = _load_prog(args.input)
-    params = mpc.init(r1cs_from_prog(prog))
-    with open(args.output, "wb") as f:
-        pickle.dump(params, f)
+    r1cs = r1cs_from_prog(prog)
+    if args.radix_path:
+        # reference path (mpc init -r phase1radix2m{n}): phase-1-anchored
+        # parameters in the phase2 byte format
+        from .interop import bellman_mpc
+
+        n = 1 << max(1, (r1cs.num_constraints + r1cs.num_instance - 1).bit_length())
+        with open(args.radix_path, "rb") as f:
+            radix = bellman_mpc.Phase1Radix.read(r1cs.curve, f, n)
+        params = bellman_mpc.initialize(r1cs, radix)
+        with open(args.output, "wb") as f:
+            params.write(f)
+    else:
+        params = mpc.init(r1cs)
+        with open(args.output, "wb") as f:
+            pickle.dump(params, f)
     print(f"Initial parameters written to '{args.output}'")
 
 
 def cmd_mpc_contribute(args):
     from .schemes import mpc
 
-    with open(args.input, "rb") as f:
-        params = pickle.load(f)
-    h = mpc.contribute(params, entropy=args.entropy)
-    with open(args.output, "wb") as f:
-        pickle.dump(params, f)
+    params, fmt = _mpc_load(args.input, args.curve)
+    if fmt == "phase2":
+        from .interop import bellman_mpc
+
+        h = bellman_mpc.contribute(params, entropy=args.entropy)
+    else:
+        h = mpc.contribute(params, entropy=args.entropy)
+    _mpc_save(params, fmt, args.output)
     print(f"Contribution hash: 0x{h.hex()}")
     print(f"Parameters written to '{args.output}'")
 
@@ -349,11 +387,14 @@ def cmd_mpc_contribute(args):
 def cmd_mpc_beacon(args):
     from .schemes import mpc
 
-    with open(args.input, "rb") as f:
-        params = pickle.load(f)
-    h = mpc.beacon(params, args.beacon_hash, args.iterations)
-    with open(args.output, "wb") as f:
-        pickle.dump(params, f)
+    params, fmt = _mpc_load(args.input, args.curve)
+    if fmt == "phase2":
+        from .interop import bellman_mpc
+
+        h = bellman_mpc.beacon(params, args.beacon_hash, args.iterations)
+    else:
+        h = mpc.beacon(params, args.beacon_hash, args.iterations)
+    _mpc_save(params, fmt, args.output)
     print(f"Beacon contribution hash: 0x{h.hex()}")
     print(f"Parameters written to '{args.output}'")
 
@@ -362,9 +403,26 @@ def cmd_mpc_verify(args):
     from .ir.r1cs import r1cs_from_prog
     from .schemes import mpc
 
-    with open(args.input, "rb") as f:
-        params = pickle.load(f)
     r1cs = r1cs_from_prog(_load_prog(args.circuit))
+    params, fmt = _mpc_load(args.input, r1cs.curve)
+    if fmt == "phase2":
+        from .interop import bellman_mpc
+
+        if not args.radix_path:
+            _err("phase2-format params require -r/--radix-path to verify")
+        n = 1 << max(1, (r1cs.num_constraints + r1cs.num_instance - 1).bit_length())
+        with open(args.radix_path, "rb") as f:
+            radix = bellman_mpc.Phase1Radix.read(r1cs.curve, f, n)
+        try:
+            hashes = bellman_mpc.verify(params, r1cs, radix)
+        except ValueError as e:
+            print(f"Contribution verification failed: {e}")
+            sys.exit(1)
+        print(f"Transcript contains {len(hashes)} contribution(s):")
+        for i, h in enumerate(hashes):
+            print(f"  {i}: 0x{h.hex()}")
+        print("Contributions verified")
+        return
     if mpc.verify(params, r1cs):
         print(f"Transcript contains {len(params.contributions)} contribution(s):")
         for i, c in enumerate(params.contributions):
@@ -378,9 +436,15 @@ def cmd_mpc_verify(args):
 def cmd_mpc_export(args):
     from .schemes import mpc
 
-    with open(args.input, "rb") as f:
-        params = pickle.load(f)
-    pk, vk = mpc.export_keys(params)
+    params, fmt = _mpc_load(args.input, args.curve)
+    if fmt == "phase2":
+        from .interop import bellman_mpc
+        from .ir.r1cs import r1cs_from_prog
+
+        r1cs = r1cs_from_prog(_load_prog(args.circuit))
+        pk, vk = bellman_mpc.export_keypair(params, r1cs)
+    else:
+        pk, vk = mpc.export_keys(params)
     with open(args.proving_key_path, "wb") as f:
         pickle.dump(pk, f)
     with open(args.verification_key_path, "w") as f:
@@ -591,26 +655,39 @@ def make_parser():
     c = sub.add_parser("mpc-init", help="MPC ceremony: initialize parameters")
     c.add_argument("-i", "--input", default="out")
     c.add_argument("-o", "--output", default="mpc.params")
+    c.add_argument(
+        "-r", "--radix-path", default=None,
+        help="phase1radix2m{n} file (Powers of Tau output); produces "
+        "reference-compatible phase2-format parameters",
+    )
     c.set_defaults(fn=cmd_mpc_init)
     c = sub.add_parser("mpc-contribute", help="MPC ceremony: contribute randomness")
     c.add_argument("-i", "--input", default="mpc.params")
     c.add_argument("-o", "--output", default="mpc.params")
     c.add_argument("-e", "--entropy", default=None)
+    c.add_argument("-c", "--curve", default="bn128")
     c.set_defaults(fn=cmd_mpc_contribute)
     c = sub.add_parser("mpc-beacon", help="MPC ceremony: apply a random beacon")
     c.add_argument("-i", "--input", default="mpc.params")
     c.add_argument("-o", "--output", default="mpc.params")
     c.add_argument("-h2", "--hash", dest="beacon_hash", required=True)
     c.add_argument("-n", "--iterations", type=int, default=10)
+    c.add_argument("-c", "--curve", default="bn128")
     c.set_defaults(fn=cmd_mpc_beacon)
     c = sub.add_parser("mpc-verify", help="MPC ceremony: verify the transcript")
     c.add_argument("-i", "--input", default="mpc.params")
     c.add_argument("-c", "--circuit", default="out")
+    c.add_argument(
+        "-r", "--radix-path", default=None,
+        help="phase1radix file (required for phase2-format params)",
+    )
     c.set_defaults(fn=cmd_mpc_verify)
     c = sub.add_parser("mpc-export", help="MPC ceremony: export final keypair")
     c.add_argument("-i", "--input", default="mpc.params")
     c.add_argument("-p", "--proving-key-path", default="proving.key")
     c.add_argument("-v", "--verification-key-path", default="verification.key")
+    c.add_argument("-c", "--curve", default="bn128")
+    c.add_argument("--circuit", default="out")
     c.set_defaults(fn=cmd_mpc_export)
     c = sub.add_parser("nova-setup", help="Nova IVC: generate public parameters")
     c.add_argument("-i", "--input", default="out")

@@ -57,10 +57,10 @@ class Domain:
         rev = np.zeros(n, dtype=np.int64)
         for b in range(self.k):
             rev = (rev << 1) | ((idx >> b) & 1)
-        self.bitrev = jnp.asarray(rev.astype(np.int32))
+        self.bitrev = rev.astype(np.int32)  # numpy: trace-safe if built mid-trace
 
         rr = pow(2, LIMB_BITS * self.ops.nl, self.p)
-        self.n_inv_mont = jnp.asarray(
+        self.n_inv_mont = np.asarray(
             ints_to_limbs([self.n_inv * rr % self.p], self.ops.nl)
         )[0]
         self.fft_jit = jax.jit(self.fft)
@@ -83,7 +83,9 @@ class Domain:
             for _ in range(m // 2):
                 powers.append(acc * rr % self.p)
                 acc = acc * w_m % self.p
-            tws.append(jnp.asarray(ints_to_limbs(powers, self.ops.nl)))
+            # numpy on purpose: jnp.asarray stages under a jit trace and
+            # would cache tracers when a Domain is built lazily mid-trace
+            tws.append(np.asarray(ints_to_limbs(powers, self.ops.nl)))
         return tws
 
     # -- transforms --------------------------------------------------------
@@ -144,9 +146,9 @@ class Domain:
                 row.append(acc * rr % self.p)
                 acc = acc * base % self.p
             rows.extend(row)
-        tw = jnp.asarray(ints_to_limbs(rows, self.ops.nl)).reshape(
+        tw = np.asarray(ints_to_limbs(rows, self.ops.nl)).reshape(
             n1, n2, -1
-        )
+        )  # numpy: _four_step_parts is lru_cached and may populate mid-trace
         return dom1, dom2, tw
 
     def _fft_four_step(self, x: jnp.ndarray, inverse: bool) -> jnp.ndarray:
@@ -211,7 +213,7 @@ class Domain:
         for _ in range(self.n):
             powers.append(acc * rr % self.p)
             acc = acc * g % self.p
-        return jnp.asarray(ints_to_limbs(powers, self.ops.nl))
+        return np.asarray(ints_to_limbs(powers, self.ops.nl))
 
     @lru_cache(maxsize=None)
     def _coset_powers_inv(self, g: int):

@@ -106,6 +106,12 @@ def _ntt_call(p: int, n: int, n_arr: int, interpret: bool):
         ),
         out_shape=jax.ShapeDtypeStruct((n_arr, nl, S, 128), jnp.uint32),
         scratch_shapes=[pltpu.VMEM((nl, S, 128), jnp.uint32)],
+        # At n = 2^15 (S = 256) the double-buffered blocks + mul
+        # temporaries need ~18 MB of scoped VMEM — just over the 16 MB
+        # default. Raise the budget for THIS kernel only (the global
+        # scoped-vmem flag is dangerous: round 2's 96 MB setting made
+        # XLA emit fused programs that faulted the TPU worker).
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=28 * 1024 * 1024),
         interpret=interpret,
     )
 
@@ -142,7 +148,11 @@ def _tw_tables(dom, inverse: bool):
                 ints_to_limbs(group * (n // m), nl), dtype=np.uint32
             )  # (n, nl)
             rows.append(full.reshape(n // 128, 128, nl).transpose(2, 0, 1))
-        t = jnp.asarray(np.stack(rows))  # (k, nl, S, 128)
+        # cache NUMPY, not a device array: jnp.asarray STAGES (device_put)
+        # when called under a jit trace, so caching its result here would
+        # leak a tracer into later traces (observed as UnexpectedTracerError
+        # in the single prove after the batch prove populated the cache)
+        t = np.ascontiguousarray(np.stack(rows))  # (k, nl, S, 128)
         _TW_CACHE[key] = t
     return t
 

@@ -86,6 +86,13 @@ for i in range(3):
         flush=True,
     )
 
+if os.environ.get("R5_PROFILE") == "1":
+    outdir = "/tmp/jaxprof"
+    os.system(f"rm -rf {outdir}")
+    with jax.profiler.trace(outdir):
+        proofs = G.prove_batch(r1cs, pk, wits)
+    print(f"profile captured to {outdir}", flush=True)
+
 if os.environ.get("R5_SKIP_SINGLE") != "1":
     t0 = time.time()
     proof = G.prove(r1cs, pk, wits[0])

@@ -154,3 +154,48 @@ class TestNTT:
         dom = domain_for_curve("vesta", 8)
         xs = [rng.randrange(dom.p) for _ in range(8)]
         assert dom.fft_ints(xs) == self._naive_ntt(xs, dom.omega, dom.p)
+
+
+class TestElementwisePallas:
+    """Elementwise Montgomery mul + lazy-sum reduction kernels
+    (pallas_field.emul / ereduce_wide) vs the XLA jfield ops."""
+
+    def test_emul_shared_and_full(self):
+        import numpy as np
+        from zokrates_tpu.fields import params as P
+        from zokrates_tpu.fields.jfield import field_ops
+        from zokrates_tpu.kernels.pallas_field import emul
+
+        p = P.SCALAR_FIELDS["bn128"].p
+        f = field_ops(p)
+        rng = np.random.default_rng(11)
+        B, L = 2, 1500
+        a = f.encode([int(v) for v in rng.integers(0, 2**62, size=B * L)])
+        a = a.reshape(B, L, -1)
+        b = f.encode([int(v) for v in rng.integers(0, 2**62, size=L)])
+        assert f.decode(emul(p, a, b, interpret=True)) == f.decode(
+            f.mul_(a, b[None])
+        )
+        b3 = f.encode(
+            [int(v) for v in rng.integers(0, 2**62, size=B * L)]
+        ).reshape(B, L, -1)
+        assert f.decode(emul(p, a, b3, interpret=True)) == f.decode(
+            f.mul_(a, b3)
+        )
+
+    def test_ereduce_wide(self):
+        import jax.numpy as jnp
+        import numpy as np
+        from zokrates_tpu.fields import params as P
+        from zokrates_tpu.fields.jfield import field_ops
+        from zokrates_tpu.kernels.pallas_field import ereduce_wide
+
+        p = P.SCALAR_FIELDS["bn128"].p
+        f = field_ops(p)
+        rng = np.random.default_rng(12)
+        t = jnp.asarray(
+            rng.integers(0, 1 << 31, size=(2, 900, f.nl), dtype=np.uint32)
+        )
+        assert f.decode(ereduce_wide(p, t, interpret=True), mont=True) == f.decode(
+            f.reduce_wide_(t), mont=True
+        )

@@ -189,15 +189,32 @@ class Domain:
             x = x.reshape(lead + (n, -1))
         return x
 
+    def _mul_table(self, x: jnp.ndarray, rows: np.ndarray) -> jnp.ndarray:
+        """Elementwise multiply of (..., n, nl) by a shared (n, nl) table.
+        On TPU this runs as one Pallas kernel (kernels/pallas_field.emul)
+        — the XLA scan-CIOS costs ~2 ms per 10^6 elements of HBM-streamed
+        carry tensor; the kernel reads each operand once."""
+        if jax.default_backend() == "tpu":
+            from .pallas_field import emul
+
+            lead = x.shape[:-2]
+            B = 1
+            for d in lead:
+                B *= d
+            out = emul(self.p, x.reshape(B, self.n, -1), jnp.asarray(rows))
+            return out.reshape(x.shape)
+        return self.ops.mul_(x, rows)
+
     def fft(self, coeffs: jnp.ndarray) -> jnp.ndarray:
         """Coefficients -> evaluations on the domain (both Montgomery limbs)."""
         return self._fft_core(coeffs, self._tw)
 
     def ifft(self, evals: jnp.ndarray) -> jnp.ndarray:
         """Evaluations -> coefficients."""
-        f = self.ops
         x = self._fft_core(evals, self._tw_inv)
-        return f.mul_(x, self.n_inv_mont)
+        return self._mul_table(
+            x, np.broadcast_to(self.n_inv_mont, (self.n, len(self.n_inv_mont)))
+        )
 
     # -- coset transforms (for h(X) = (AB - C)/Z on a coset) ---------------
     @lru_cache(maxsize=None)
@@ -227,14 +244,12 @@ class Domain:
 
     def coset_fft(self, coeffs: jnp.ndarray, g: int) -> jnp.ndarray:
         """Evaluate on the coset g * <omega>."""
-        f = self.ops
-        scaled = f.mul_(coeffs, self._coset_powers(g))
+        scaled = self._mul_table(coeffs, self._coset_powers(g))
         return self.fft(scaled)
 
     def coset_ifft(self, evals: jnp.ndarray, g: int) -> jnp.ndarray:
-        f = self.ops
         coeffs = self.ifft(evals)
-        return f.mul_(coeffs, self._coset_powers_inv(g))
+        return self._mul_table(coeffs, self._coset_powers_inv(g))
 
     # -- host helpers ------------------------------------------------------
     def fft_ints(self, xs):

@@ -664,3 +664,137 @@ def _mixed_add_inline(F, cur, Qx, Qy, with_double: bool = True):
     return X3, Y3, Z3, is_double
 
 
+
+
+# ---------------------------------------------------------------------------
+# Elementwise field multiply over large arrays
+# ---------------------------------------------------------------------------
+
+_EMUL_S = 32  # sublane rows per block: 4096 elements, 256 KB/operand
+
+
+def _emul_call(p: int, B: int, G: int, shared_b: bool, interpret: bool):
+    """pallas_call: a (B, G, nl, S, 128) x b ((G,) or (B, G), nl, S, 128)
+    -> same-shape product, Montgomery form."""
+    import functools
+
+    nl = field_spec(p).nl
+    S = _EMUL_S
+    F = field_for(p, None, compact=interpret)
+
+    def kernel(a_ref, b_ref, o_ref):
+        F.prep((S, 128))
+        a = [a_ref[0, 0, i : i + 1] for i in range(nl)]
+        if shared_b:
+            b = [b_ref[0, i : i + 1] for i in range(nl)]
+        else:
+            b = [b_ref[0, 0, i : i + 1] for i in range(nl)]
+        o_ref[0, 0] = _join(F.mul(a, b))
+
+    b_spec = (
+        pl.BlockSpec((1, nl, S, 128), lambda bi, gi: (gi, 0, 0, 0),
+                     memory_space=pltpu.VMEM)
+        if shared_b
+        else pl.BlockSpec((1, 1, nl, S, 128), lambda bi, gi: (bi, gi, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(B, G),
+        in_specs=[
+            pl.BlockSpec((1, 1, nl, S, 128), lambda bi, gi: (bi, gi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            b_spec,
+        ],
+        out_specs=pl.BlockSpec((1, 1, nl, S, 128),
+                               lambda bi, gi: (bi, gi, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, G, nl, S, 128), jnp.uint32),
+        interpret=interpret,
+    )
+
+
+def _emul_pack(x: jnp.ndarray, B: int, L: int, nl: int):
+    """(B, L, nl) -> (B, G, nl, S, 128) limb-major blocks (padded)."""
+    S = _EMUL_S
+    blk = S * 128
+    G = -(-L // blk)
+    xp = jnp.pad(x, ((0, 0), (0, G * blk - L), (0, 0)))
+    return xp.reshape(B, G, S, 128, nl).transpose(0, 1, 4, 2, 3), G
+
+
+def _emul_unpack(o: jnp.ndarray, L: int, nl: int):
+    B, G = o.shape[0], o.shape[1]
+    S = _EMUL_S
+    return o.transpose(0, 1, 3, 4, 2).reshape(B, G * S * 128, nl)[:, :L]
+
+
+def emul(p: int, a: jnp.ndarray, b: jnp.ndarray, interpret: bool = False):
+    """Batched elementwise Montgomery product via ONE Pallas kernel.
+
+    a: (B, L, nl); b: (L, nl) (shared across the batch) or (B, L, nl).
+    Replaces the XLA lax.scan CIOS for the prover's big elementwise
+    multiplies — the scan streams a (B, L, nl+1) carry tensor through HBM
+    once per limb (measured 85 ms for the h-pipeline matvec multiply at
+    B=8, L=403k), while the kernel reads each operand once (~2 ms)."""
+    B, L, nl = a.shape
+    ab, G = _emul_pack(a, B, L, nl)
+    if b.ndim == 2:
+        bb, _ = _emul_pack(b[None], 1, L, nl)
+        out = _emul_call(p, B, G, True, interpret)(ab, bb[0])
+    else:
+        bb, _ = _emul_pack(b, B, L, nl)
+        out = _emul_call(p, B, G, False, interpret)(ab, bb)
+    return _emul_unpack(out, L, nl)
+
+
+def _ereduce_call(p: int, B: int, G: int, interpret: bool):
+    """Lazy-sum reduction kernel (jfield.reduce_wide, fused): u32 column
+    sums < 2^31 of Montgomery residues -> canonical field elements, in one
+    pass (the XLA form streams the array through HBM ~5x: carry-sweep scan
+    + two scan-CIOS muls + add)."""
+    from ..fields.jfield import field_spec as _fs
+    from ..fields.limbs import int_to_limbs
+
+    spec = _fs(p)
+    nl = spec.nl
+    S = _EMUL_S
+    F = field_for(p, None, compact=interpret)
+    r_rows = [np.uint32(v) for v in spec.r_limbs]
+    shift = (1 << (LIMB_BITS * nl)) * spec.r % p
+    sh_rows = [np.uint32(v) for v in int_to_limbs(shift, nl)]
+
+    def kernel(t_ref, o_ref):
+        F.prep((S, 128))
+        tail = (1, S, 128)
+        rows = [t_ref[0, 0, i : i + 1] for i in range(nl)]
+        res, carry = F.carry_sweep(rows)
+        rr = [jnp.full(tail, v, jnp.uint32) for v in r_rows]
+        lo = F.mul(res, rr)
+        zero = jnp.zeros(tail, jnp.uint32)
+        c_emb = [carry & _MASK, carry >> LIMB_BITS] + [zero] * (nl - 2)
+        sh = [jnp.full(tail, v, jnp.uint32) for v in sh_rows]
+        hi = F.mul(c_emb, sh)
+        o_ref[0, 0] = _join(F.add(lo, hi))
+
+    return pl.pallas_call(
+        kernel,
+        grid=(B, G),
+        in_specs=[
+            pl.BlockSpec((1, 1, nl, S, 128), lambda bi, gi: (bi, gi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, nl, S, 128),
+                               lambda bi, gi: (bi, gi, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, G, nl, S, 128), jnp.uint32),
+        interpret=interpret,
+    )
+
+
+def ereduce_wide(p: int, t: jnp.ndarray, interpret: bool = False):
+    """t (B, L, nl) u32 lazy sums -> field elements mod p (one kernel)."""
+    B, L, nl = t.shape
+    tb, G = _emul_pack(t, B, L, nl)
+    out = _ereduce_call(p, B, G, interpret)(tb)
+    return _emul_unpack(out, L, nl)

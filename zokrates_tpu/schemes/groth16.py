@@ -670,9 +670,39 @@ def _h_stage(curve: str, n: int):
 
     import jax.ops
 
+    # Pallas elementwise field kernels on hardware: the XLA scan-CIOS
+    # multiply streams a (B, L, nl+1) carry tensor through HBM once per
+    # limb — profiled at 85 ms for the matvec multiply alone (B=8,
+    # L=403k) vs ~2 ms in-kernel; reduce_wide similarly 38 -> ~2 ms.
+    use_pl = jax.default_backend() == "tpu"
+
+    def _mul_big(a, b):
+        """a (B, L, nl) x b ((L, nl) shared or (B, L, nl)) elementwise."""
+        if use_pl:
+            from ..kernels.pallas_field import emul
+
+            return emul(p, a, b)
+        return f.mul_(a, b[None] if b.ndim == 2 else b)
+
+    def _reduce_big(t):
+        if use_pl:
+            from ..kernels.pallas_field import ereduce_wide
+
+            return ereduce_wide(p, t)
+        return f.reduce_wide_(t)
+
     def pipeline(ar, ac, av, br, bc, bv, cr, cc, cv, Z):
         B = Z.shape[0]
-        Z_mont = f.to_mont_(Z)
+        if use_pl:
+            from ..kernels.pallas_field import emul
+
+            r2 = jnp.broadcast_to(
+                jnp.asarray(np.asarray(f.spec.r2_limbs, dtype=np.uint32)),
+                Z.shape[1:],
+            )
+            Z_mont = emul(p, Z, r2)
+        else:
+            Z_mont = f.to_mont_(Z)
         # one fused 3-matrix matvec: rows offset into disjoint segment
         # blocks (each block's rows stay sorted, so the concatenation is
         # sorted too) -> single gather + mul + segment_sum, vmapped over
@@ -680,19 +710,18 @@ def _h_stage(curve: str, n: int):
         rows_all = jnp.concatenate([ar, br + n, cr + 2 * n])
         cols_all = jnp.concatenate([ac, bc, cc])
         coeff_all = jnp.concatenate([av, bv, cv])
-        vals = f.mul_(coeff_all[None], jnp.take(Z_mont, cols_all, axis=1))
+        vals = _mul_big(jnp.take(Z_mont, cols_all, axis=1), coeff_all)
         sums = jax.vmap(
             lambda v: jax.ops.segment_sum(
                 v, rows_all, num_segments=3 * n, indices_are_sorted=True
             )
         )(vals)
-        abc_e = f.reduce_wide_(sums).reshape(B * 3, n, -1)
+        abc_e = _reduce_big(sums).reshape(B * 3, n, -1)
         # ONE stacked iNTT + coset NTT over all 3B polynomials
         abc_cs = dom.coset_fft(dom.ifft(abc_e), g).reshape(B, 3, n, -1)
-        h_cs = f.mul_(
-            f.sub_(f.mul_(abc_cs[:, 0], abc_cs[:, 1]), abc_cs[:, 2]),
-            zinv_mont,
-        )
+        ab = _mul_big(abc_cs[:, 0], abc_cs[:, 1])
+        zrow = jnp.broadcast_to(zinv_mont, (n, abc_cs.shape[-1]))
+        h_cs = _mul_big(f.sub_(ab, abc_cs[:, 2]), zrow)
         h = dom.coset_ifft(h_cs, g)
         return f.from_mont_(h)
 
@@ -962,6 +991,17 @@ def _window_nnz(z_limbs: np.ndarray, W: int, c: int) -> List[int]:
     return [int(np.count_nonzero(digits[w])) for w in range(W)]
 
 
+def _window_nnz_batch(Z_np: List[np.ndarray], W: int, c: int) -> np.ndarray:
+    """Per-window nnz maxed over a batch of witnesses, in ONE vectorized
+    pass (the per-witness loop cost ~60 ms at B=8; this is ~8 ms)."""
+    stacked = np.concatenate(Z_np, axis=0)  # (B*m, nls)
+    digits, _ = _signed_digits_np(stacked, W, c)
+    B = len(Z_np)
+    m = Z_np[0].shape[0]
+    counts = np.count_nonzero(digits.reshape(W, B, m), axis=2)  # (W, B)
+    return counts.max(axis=1)
+
+
 _SPLIT_W0S = (0, 1, 2, 3, 4, 6, 8, 12, 16)
 _SPLIT_W1S = (1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64)
 
@@ -1115,6 +1155,29 @@ def _shared_h_cfg(cfg):
     return MSMConfig(c=16, M1=cfg.M1, R=cfg.R, lw2=1024, interpret=cfg.interpret)
 
 
+def _corr_fast(f, p: int, corr_w, z_pad, C: int, chunk: int):
+    """Dummy-correction weights · witness dot products (3 rows). The two
+    elementwise multiplies route through the Pallas kernel on hardware
+    (the XLA scan-CIOS pair cost ~10 ms of the fused program)."""
+    if jax.default_backend() == "tpu":
+        from ..kernels.pallas_field import emul, ereduce_wide
+
+        r2 = jnp.broadcast_to(
+            jnp.asarray(np.asarray(f.spec.r2_limbs, dtype=np.uint32)),
+            z_pad.shape,
+        )
+        zm = emul(p, z_pad[None], r2)[0]
+        prod = emul(p, corr_w, zm)
+        s1 = ereduce_wide(
+            p, jnp.sum(prod.reshape(3, C, chunk, -1), axis=2)
+        )
+        return f.from_mont_(ereduce_wide(p, jnp.sum(s1, axis=1)[None])[0])
+    zm = f.to_mont_(z_pad)
+    prod = f.mul_(corr_w, jnp.broadcast_to(zm[None], corr_w.shape))
+    s1 = f.reduce_wide_(jnp.sum(prod.reshape(3, C, chunk, -1), axis=2))
+    return f.from_mont_(f.reduce_wide_(jnp.sum(s1, axis=1)))
+
+
 def _fused_prove_fn(curve: str, N: int, n: int, W: int, cfg, fold: bool, w0: int, w1: int, Ks: int, h16: bool = False, zsparse: bool = False):
     """ONE jitted program for the whole prove compute: h pipeline, two
     sorted-MSM plans (witness + h scalars), the three witness G1 MSMs as
@@ -1214,10 +1277,7 @@ def _fused_prove_fn(curve: str, N: int, n: int, W: int, cfg, fold: bool, w0: int
         out_h = h_msm(qh, h_pad)
         out_b2 = z_msm(qb2, plan_d, plan_s, beta)
 
-        zm = f.to_mont_(z_pad)
-        prod = f.mul_(corr_w, jnp.broadcast_to(zm[None], corr_w.shape))
-        s1 = f.reduce_wide_(jnp.sum(prod.reshape(3, C, chunk, -1), axis=2))
-        corr = f.from_mont_(f.reduce_wide_(jnp.sum(s1, axis=1)))
+        corr = _corr_fast(f, p, corr_w, z_pad, C, chunk)
         return g1outs, out_h, out_b2, corr
 
     # ZOKRATES_TPU_FUSED_EAGER=1: run the pipeline op-by-op instead of as
@@ -1309,10 +1369,7 @@ def _fused_prove_batch_fn(
         return out_h
 
     def corr_b(corr_w, zb):
-        zm = f.to_mont_(zb)
-        prod = f.mul_(corr_w, jnp.broadcast_to(zm[None], corr_w.shape))
-        s1 = f.reduce_wide_(jnp.sum(prod.reshape(3, C, chunk, -1), axis=2))
-        return f.from_mont_(f.reduce_wide_(jnp.sum(s1, axis=1)))
+        return _corr_fast(f, p, corr_w, zb, C, chunk)
 
     def fused(ar, ac, av, br, bc, bv, cr, cc, cv, Z_in, qg1, qh, qb2, corr_w):
         # witness limbs arrive as u16 — sparse or dense (see single fn)
@@ -1718,7 +1775,7 @@ def _prove_core_sorted_batch(curve, pk, dev: R1CSDevice, Z_list, m, n, ni, rs_li
     mark = _timer()
     nf, nf2 = _native_pair(curve)
     Z_np = [np.asarray(zl) for zl in Z_list]
-    nnz = np.max([_window_nnz(z, W, cfg.c) for z in Z_np], axis=0)
+    nnz = _window_nnz_batch(Z_np, W, cfg.c)
     w0, w1, Ks, hw0, hw1 = _split_with_host(
         [int(v) for v in nnz], W, cfg, N, nf is not None
     )

@@ -26,8 +26,9 @@ ART = "/root/repo/bench_artifacts"
 with open(f"{ART}/sha256.out", "rb") as f:
     prog = deserialize(f.read())
 r1cs = r1cs_from_prog(prog)
+B = int(os.environ.get("R5_B", "16"))
 wits = []
-for b in range(8):
+for b in range(B):
     with open(f"{ART}/sha256.witness.b{b}", "rb") as f:
         wits.append(Witness.read(f, FIELDS["bn128"]))
 
@@ -72,17 +73,17 @@ print(f"h16: {None if pk.h16_p128 is None else pk.h16_p128.shape}", flush=True)
 # TPU time, at least its compiles are cached
 t0 = time.time()
 proofs = G.prove_batch(r1cs, pk, wits)
-print(f"batch B=8 compile: {time.time()-t0:.0f}s", flush=True)
+print(f"batch B={B} compile: {time.time()-t0:.0f}s", flush=True)
 for i, pr in enumerate(proofs):
     assert G.verify(vk, pr), f"batch proof {i} failed"
-print("all 8 batch proofs verify", flush=True)
+print(f"all {B} batch proofs verify", flush=True)
 for i in range(3):
     t0 = time.time()
     proofs = G.prove_batch(r1cs, pk, wits)
     dt = time.time() - t0
     print(
-        f"batch steady {i}: {dt*1e3:.0f} ms  ({dt/8*1e3:.0f} ms/proof, "
-        f"{8/dt:.2f} proofs/s)",
+        f"batch steady {i}: {dt*1e3:.0f} ms  ({dt/B*1e3:.0f} ms/proof, "
+        f"{B/dt:.2f} proofs/s)",
         flush=True,
     )
 

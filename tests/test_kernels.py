@@ -199,3 +199,83 @@ class TestElementwisePallas:
         assert f.decode(ereduce_wide(p, t, interpret=True), mont=True) == f.decode(
             f.reduce_wide_(t), mont=True
         )
+
+    def test_mulacc_walk_matvec(self):
+        """Fused mulacc-walk sparse matvec == gather+mul+segment_sum."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from zokrates_tpu.fields import params as P
+        from zokrates_tpu.fields.jfield import field_ops
+        from zokrates_tpu.ir.r1cs_device import (
+            _MULACC_R,
+            _MULACC_S,
+        )
+        from zokrates_tpu.kernels.pallas_field import ereduce_wide, mulacc_walk
+
+        p = P.SCALAR_FIELDS["bn128"].p
+        f = field_ops(p)
+        nl = f.nl
+        rng = np.random.default_rng(21)
+        n_rows, m, L, B = 64, 40, 3000, 2
+        rows = np.sort(rng.integers(0, n_rows, size=L)).astype(np.int64)
+        cols = rng.integers(0, m, size=L).astype(np.int32)
+        coeff_ints = [
+            int.from_bytes(rng.bytes(32), "big") % (p - 1) + 1 for _ in range(L)
+        ]
+        coeff = np.asarray(
+            jax.device_get(f.to_mont(f.encode(coeff_ints, mont=False)))
+        )
+        z_ints = [
+            int.from_bytes(rng.bytes(32), "big") % p for _ in range(B * m)
+        ]
+        Z_mont = f.to_mont(f.encode(z_ints, mont=False)).reshape(B, m, nl)
+
+        # reference: gather + mul + segment_sum + reduce
+        vals = f.mul_(coeff[None], jnp.take(Z_mont, cols, axis=1))
+        import jax.ops
+
+        ref = f.reduce_wide_(
+            jax.vmap(
+                lambda v: jax.ops.segment_sum(
+                    v, rows, num_segments=n_rows, indices_are_sorted=True
+                )
+            )(vals)
+        )
+
+        # walk layout (mirrors ir/r1cs_device.build_mulacc_walk)
+        M = _MULACC_S * 128
+        R = _MULACC_R
+        K = -(-(-(-L // M)) // R) * R
+        Lp = M * K
+        rows_pad = np.concatenate([rows, np.full(Lp - L, n_rows, np.int64)])
+        cols_pad = np.concatenate([cols, np.zeros(Lp - L, np.int32)])
+        coeff_pad = np.concatenate([coeff, np.zeros((Lp - L, nl), coeff.dtype)])
+        nxt = np.concatenate([rows_pad[1:], np.asarray([-1], np.int64)])
+        flush = rows_pad != nxt
+        flush |= (np.arange(Lp) % K) == (K - 1)
+        pos = np.nonzero(flush)[0].astype(np.int32)
+        seg = rows_pad[pos].astype(np.int32)
+        cw = coeff_pad.reshape(_MULACC_S, 128, K, nl).transpose(2, 3, 0, 1)
+        fl = (
+            flush.astype(np.uint32)
+            .reshape(_MULACC_S, 128, K)
+            .transpose(2, 0, 1)
+            .reshape(K // R, R, _MULACC_S, 128)
+        )
+        zg = jnp.take(Z_mont, jnp.asarray(cols_pad), axis=1)
+        zw = zg.reshape(B, _MULACC_S, 128, K, nl).transpose(0, 3, 4, 1, 2)
+        out = mulacc_walk(
+            p, zw, jnp.asarray(np.ascontiguousarray(cw)),
+            jnp.asarray(np.ascontiguousarray(fl)), R, interpret=True,
+        )
+        OT = out.transpose(0, 3, 4, 1, 2).reshape(B, Lp, nl)
+        part = ereduce_wide(p, jnp.take(OT, jnp.asarray(pos), axis=1),
+                            interpret=True)
+        sums = jax.vmap(
+            lambda v: jax.ops.segment_sum(
+                v, seg, num_segments=n_rows + 1, indices_are_sorted=True
+            )
+        )(part)[:, :n_rows]
+        got = ereduce_wide(p, sums, interpret=True)
+        assert f.decode(got, mont=True) == f.decode(ref, mont=True)

@@ -78,7 +78,12 @@ def _to_coo(rows_py: List[List[Tuple[int, int]]], extra, n_rows: int, p: int) ->
     c_arr = np.asarray(c_idx, dtype=np.int32)[order]
     co = ints_to_limbs([coeffs[i] for i in order], nl)
     co_mont = f.to_mont(jnp.asarray(co))
-    return COOMatrix(jnp.asarray(r_arr), jnp.asarray(c_arr), co_mont, n_rows)
+    out = COOMatrix(jnp.asarray(r_arr), jnp.asarray(c_arr), co_mont, n_rows)
+    # numpy sidecars for host-side planning (the mulacc-walk layout)
+    out.rows_np = r_arr
+    out.cols_np = c_arr
+    out.coeff_np = np.asarray(jax.device_get(co_mont))
+    return out
 
 
 @dataclass
@@ -121,3 +126,92 @@ class R1CSDevice:
             self.B.matvec(f, z_mont),
             self.C.matvec(f, z_mont),
         )
+
+
+@dataclass
+class MulaccWalk:
+    """Precomputed walk-layout plan for the fused 3-matrix sparse matvec
+    (kernels/pallas_field.mulacc_walk). All index structure is
+    circuit-static: records are the row-sorted concatenation of the A, B,
+    C COO entries with rows offset into disjoint blocks of 3n segments;
+    lane m of M = S*128 owns records [m*K, (m+1)*K)."""
+
+    cols: jnp.ndarray        # (Lp,) int32 gather indices into z
+    coeff_walk: jnp.ndarray  # (K, nl, S, 128) Montgomery coefficients
+    flags_walk: jnp.ndarray  # (T, R, S, 128) u32 flush flags
+    pos: jnp.ndarray         # (P,) int32 flush positions in record space
+    seg: jnp.ndarray         # (P,) int32 segment (row) ids, sorted
+    K: int
+    R: int
+    S: int
+    n_rows: int              # 3n
+
+    @property
+    def M(self) -> int:
+        return self.S * 128
+
+
+_MULACC_R = 4
+_MULACC_S = 8  # M = 1024 lanes
+
+
+def build_mulacc_walk(dev: "R1CSDevice") -> MulaccWalk:
+    """Build (and cache on dev) the walk plan from the numpy COO sidecars."""
+    cached = getattr(dev, "_mulacc_walk", None)
+    if cached is not None:
+        return cached
+    n = dev.n
+    nl = dev.A.coeff_np.shape[1]
+    rows = np.concatenate(
+        [dev.A.rows_np, dev.B.rows_np + n, dev.C.rows_np + 2 * n]
+    ).astype(np.int64)
+    cols = np.concatenate([dev.A.cols_np, dev.B.cols_np, dev.C.cols_np])
+    coeff = np.concatenate([dev.A.coeff_np, dev.B.coeff_np, dev.C.coeff_np])
+    L = rows.shape[0]
+    M = _MULACC_S * 128
+    R = _MULACC_R
+    K = -(-L // M)
+    K = -(-K // R) * R
+    Lp = M * K
+    rows_pad = np.concatenate([rows, np.full(Lp - L, 3 * n, np.int64)])
+    cols_pad = np.concatenate([cols, np.zeros(Lp - L, cols.dtype)])
+    coeff_pad = np.concatenate(
+        [coeff, np.zeros((Lp - L, nl), coeff.dtype)]
+    )  # zero coeff -> zero product at padded records
+
+    # flush after record j when the row changes or j is its lane's last
+    nxt = np.concatenate([rows_pad[1:], np.asarray([-1], np.int64)])
+    flush = rows_pad != nxt
+    j = np.arange(Lp)
+    flush |= (j % K) == (K - 1)
+
+    pos = np.nonzero(flush)[0].astype(np.int32)
+    seg = rows_pad[pos].astype(np.int32)  # ascending (rows sorted, lanes contiguous)
+    # pad the flush set to a shape tier so same-size circuits share programs
+    P = pos.shape[0]
+    Pp = -(-P // 8192) * 8192
+    pos = np.concatenate([pos, np.full(Pp - P, Lp - 1, np.int32)])
+    seg = np.concatenate([seg, np.full(Pp - P, 3 * n, np.int32)])
+
+    cw = (
+        coeff_pad.reshape(_MULACC_S, 128, K, nl).transpose(2, 3, 0, 1)
+    )  # (K, nl, S, 128)
+    fl = (
+        flush.astype(np.uint32)
+        .reshape(_MULACC_S, 128, K)
+        .transpose(2, 0, 1)
+        .reshape(K // R, R, _MULACC_S, 128)
+    )
+    walk = MulaccWalk(
+        cols=jnp.asarray(cols_pad.astype(np.int32)),
+        coeff_walk=jnp.asarray(np.ascontiguousarray(cw)),
+        flags_walk=jnp.asarray(np.ascontiguousarray(fl)),
+        pos=jnp.asarray(pos),
+        seg=jnp.asarray(seg),
+        K=K,
+        R=R,
+        S=_MULACC_S,
+        n_rows=3 * n,
+    )
+    dev._mulacc_walk = walk
+    return walk

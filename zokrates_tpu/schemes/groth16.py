@@ -639,6 +639,20 @@ def _coo_args(dev: R1CSDevice):
     )
 
 
+def _matvec_kind() -> str:
+    """'walk' (fused Pallas mulacc matvec) on hardware, 'coo' elsewhere."""
+    return "walk" if jax.default_backend() == "tpu" else "coo"
+
+
+def _matvec_args(dev: R1CSDevice, kind: str):
+    if kind == "walk":
+        from ..ir.r1cs_device import build_mulacc_walk
+
+        w = build_mulacc_walk(dev)
+        return (w.cols, w.coeff_walk, w.flags_walk, w.pos, w.seg)
+    return _coo_args(dev)
+
+
 _H_JIT: Dict = {}
 _H_RAW: Dict = {}
 
@@ -691,8 +705,7 @@ def _h_stage(curve: str, n: int):
             return ereduce_wide(p, t)
         return f.reduce_wide_(t)
 
-    def pipeline(ar, ac, av, br, bc, bv, cr, cc, cv, Z):
-        B = Z.shape[0]
+    def _to_mont_big(Z):
         if use_pl:
             from ..kernels.pallas_field import emul
 
@@ -700,9 +713,21 @@ def _h_stage(curve: str, n: int):
                 jnp.asarray(np.asarray(f.spec.r2_limbs, dtype=np.uint32)),
                 Z.shape[1:],
             )
-            Z_mont = emul(p, Z, r2)
-        else:
-            Z_mont = f.to_mont_(Z)
+            return emul(p, Z, r2)
+        return f.to_mont_(Z)
+
+    def _h_tail(abc_e, B):
+        """(B*3, n, nl) A/B/C evaluations -> (B, n, nl) canonical h."""
+        abc_cs = dom.coset_fft(dom.ifft(abc_e), g).reshape(B, 3, n, -1)
+        ab = _mul_big(abc_cs[:, 0], abc_cs[:, 1])
+        zrow = jnp.broadcast_to(zinv_mont, (n, abc_cs.shape[-1]))
+        h_cs = _mul_big(f.sub_(ab, abc_cs[:, 2]), zrow)
+        h = dom.coset_ifft(h_cs, g)
+        return f.from_mont_(h)
+
+    def pipeline(ar, ac, av, br, bc, bv, cr, cc, cv, Z):
+        B = Z.shape[0]
+        Z_mont = _to_mont_big(Z)
         # one fused 3-matrix matvec: rows offset into disjoint segment
         # blocks (each block's rows stay sorted, so the concatenation is
         # sorted too) -> single gather + mul + segment_sum, vmapped over
@@ -717,19 +742,40 @@ def _h_stage(curve: str, n: int):
             )
         )(vals)
         abc_e = _reduce_big(sums).reshape(B * 3, n, -1)
-        # ONE stacked iNTT + coset NTT over all 3B polynomials
-        abc_cs = dom.coset_fft(dom.ifft(abc_e), g).reshape(B, 3, n, -1)
-        ab = _mul_big(abc_cs[:, 0], abc_cs[:, 1])
-        zrow = jnp.broadcast_to(zinv_mont, (n, abc_cs.shape[-1]))
-        h_cs = _mul_big(f.sub_(ab, abc_cs[:, 2]), zrow)
-        h = dom.coset_ifft(h_cs, g)
-        return f.from_mont_(h)
+        return _h_tail(abc_e, B)
+
+    def pipeline_walk(cols, cw, fl, pos, seg, Z):
+        """Mulacc-walk matvec (TPU): one fused multiply-accumulate kernel
+        over the row-sorted COO records (kernels/pallas_field.mulacc_walk)
+        instead of gather -> emul -> XLA scatter segment_sum. The flush
+        structure (flags/pos/seg) is circuit-static, host-precomputed
+        (ir/r1cs_device.build_mulacc_walk)."""
+        from ..ir.r1cs_device import _MULACC_R
+        from ..kernels.pallas_field import ereduce_wide, mulacc_walk
+
+        B = Z.shape[0]
+        K, nlw, S, _ = cw.shape
+        Mw = S * 128
+        Z_mont = _to_mont_big(Z)
+        zg = jnp.take(Z_mont, cols, axis=1)  # (B, Lp, nl)
+        zw = zg.reshape(B, S, 128, K, nlw).transpose(0, 3, 4, 1, 2)
+        out = mulacc_walk(p, zw, cw, fl, _MULACC_R)
+        OT = out.transpose(0, 3, 4, 1, 2).reshape(B, Mw * K, nlw)
+        part = ereduce_wide(p, jnp.take(OT, pos, axis=1))
+        sums = jax.vmap(
+            lambda v: jax.ops.segment_sum(
+                v, seg, num_segments=3 * n + 1, indices_are_sorted=True
+            )
+        )(part)[:, : 3 * n]
+        abc_e = ereduce_wide(p, sums).reshape(B * 3, n, -1)
+        return _h_tail(abc_e, B)
 
     def pipeline_single(ar, ac, av, br, bc, bv, cr, cc, cv, z_can):
         return pipeline(ar, ac, av, br, bc, bv, cr, cc, cv, z_can[None])[0]
 
     fn = jax.jit(pipeline_single)
     _H_RAW[key] = pipeline
+    _H_RAW[(curve, n, "walk")] = pipeline_walk
     _H_JIT[key] = fn
     return fn
 
@@ -1194,7 +1240,8 @@ def _fused_prove_fn(curve: str, N: int, n: int, W: int, cfg, fold: bool, w0: int
     witnesses are mostly bits and small values). The witness MSM outputs
     therefore carry only w1 window sums; the host combine starts at
     window w1-1. The h scalars are uniform, so the h MSM stays dense."""
-    key = (curve, N, n, W, cfg, fold, w0, w1, Ks, h16, zsparse)
+    mvk = _matvec_kind()
+    key = (curve, N, n, W, cfg, fold, w0, w1, Ks, h16, zsparse, mvk)
     fn = _FUSED_JIT.get(key)
     if fn is not None:
         return fn
@@ -1213,7 +1260,7 @@ def _fused_prove_fn(curve: str, N: int, n: int, W: int, cfg, fold: bool, w0: int
     beta = g2_group(curve).tower.beta - q
     f = field_ops(p)
     _h_stage(curve, n)  # populate _H_RAW
-    h_raw = _H_RAW[(curve, n)]
+    h_raw = _H_RAW[(curve, n, "walk") if mvk == "walk" else (curve, n)]
     chunk = min(N, 1 << 15)  # u32 lazy-sum headroom (16-bit limb terms)
     C = -(-N // chunk)
     cfgH = _shared_h_cfg(cfg)
@@ -1251,14 +1298,14 @@ def _fused_prove_fn(curve: str, N: int, n: int, W: int, cfg, fold: bool, w0: int
         )
         return out_h
 
-    def fused(ar, ac, av, br, bc, bv, cr, cc, cv, z_in, qg1, qh, qb2, corr_w):
+    def fused(mv, z_in, qg1, qh, qb2, corr_w):
         # witness limbs arrive as u16 — sparse (limb0 + wide-value
         # exceptions) or dense — to cut the axon tunnel transfer
         if zsparse:
             z_pad = _z_rebuild(z_in, N, f.nl)
         else:
             z_pad = z_in.astype(jnp.uint32)
-        h = h_raw(ar, ac, av, br, bc, bv, cr, cc, cv, z_pad[None])[0]
+        h = h_raw(*mv, z_pad[None])[0]
         h_pad = jnp.pad(h[: n - 1], ((0, N - (n - 1)), (0, 0)))
         plan_d, plan_s = _msm_plan_split(w1, N, cfg, z_pad, w0, Ks)
 
@@ -1309,7 +1356,8 @@ def _fused_prove_batch_fn(
     shared with the single-proof program's cache. Window sums for all B
     proofs come back in one fetch; the native host tail finishes each
     proof in ~2 ms."""
-    key = (curve, N, n, W, cfg, fold, w0, w1, Ks, B, h16, zsparse)
+    mvk = _matvec_kind()
+    key = (curve, N, n, W, cfg, fold, w0, w1, Ks, B, h16, zsparse, mvk)
     fn = _FUSED_BATCH_JIT.get(key)
     if fn is not None:
         return fn
@@ -1328,7 +1376,7 @@ def _fused_prove_batch_fn(
     beta = g2_group(curve).tower.beta - q
     f = field_ops(p)
     _h_stage(curve, n)  # populate _H_RAW
-    h_raw = _H_RAW[(curve, n)]
+    h_raw = _H_RAW[(curve, n, "walk") if mvk == "walk" else (curve, n)]
     chunk = min(N, 1 << 15)
     C = -(-N // chunk)
     cfgH = _shared_h_cfg(cfg)
@@ -1371,7 +1419,7 @@ def _fused_prove_batch_fn(
     def corr_b(corr_w, zb):
         return _corr_fast(f, p, corr_w, zb, C, chunk)
 
-    def fused(ar, ac, av, br, bc, bv, cr, cc, cv, Z_in, qg1, qh, qb2, corr_w):
+    def fused(mv, Z_in, qg1, qh, qb2, corr_w):
         # witness limbs arrive as u16 — sparse or dense (see single fn)
         if zsparse:
             if eager:
@@ -1386,7 +1434,7 @@ def _fused_prove_batch_fn(
         else:
             Z_pad = Z_in.astype(jnp.uint32)
         # (B, n, nl) h coefficients; the NTT stack batches across proofs
-        H = h_raw(ar, ac, av, br, bc, bv, cr, cc, cv, Z_pad)
+        H = h_raw(*mv, Z_pad)
         H_pad = jnp.pad(H[:, : n - 1], ((0, 0), (0, N - (n - 1)), (0, 0)))
 
         if eager:
@@ -1616,7 +1664,8 @@ def _prove_core_sorted(curve, pk, dev: R1CSDevice, z_limbs, m, n, ni, r, s):
         curve, N, n, W, cfg, fold, w0, w1, Ks, use_h16, parts is not None
     )
     g1outs, out_h, out_b2, corr = fn(
-        *_coo_args(dev), z_in, d["fused_g1"], d[hkey], d["fused_b2"],
+        _matvec_args(dev, _matvec_kind()), z_in, d["fused_g1"], d[hkey],
+        d["fused_b2"],
         d["fused_corr"],
     )
     mark("fused dispatch")
@@ -1799,7 +1848,8 @@ def _prove_core_sorted_batch(curve, pk, dev: R1CSDevice, Z_list, m, n, ni, rs_li
         curve, N, n, W, cfg, fold, w0, w1, Ks, B, use_h16, zsparse
     )
     G1o, Ho, B2o, corr = fn(
-        *_coo_args(dev), Z_in, d["fused_g1"], d[hkey], d["fused_b2"],
+        _matvec_args(dev, _matvec_kind()), Z_in, d["fused_g1"], d[hkey],
+        d["fused_b2"],
         d["fused_corr"],
     )
     mark("fused dispatch")
@@ -1816,8 +1866,7 @@ def _prove_core_sorted_batch(curve, pk, dev: R1CSDevice, Z_list, m, n, ni, rs_li
     g1w, wh, w2, corr_np = jax.device_get((G1o, Ho, B2o, corr))
     mark("device wait+fetch")
 
-    outs = []
-    for b in range(B):
+    def finish(b):
         ca, cb, cl = limbs_to_ints(np.asarray(corr_np[b]))
         r, s = rs_list[b]
         g1w_b = (g1w[0][b], g1w[1][b], g1w[2][b])
@@ -1825,19 +1874,24 @@ def _prove_core_sorted_batch(curve, pk, dev: R1CSDevice, Z_list, m, n, ni, rs_li
         w2_b = (w2[0][b], w2[1][b], w2[2][b])
         if nf is not None:
             hg1, hg2 = hosts[b] if hosts[b] is not None else (None, None)
-            outs.append(
-                _finish_native(
-                    curve, pk, nf, nf2, g1w_b, wh_b, w2_b, (ca, cb, cl),
-                    w1, (1 if use_h16 else W), cfg, r, s, hg1, hg2, hw0,
-                )
+            return _finish_native(
+                curve, pk, nf, nf2, g1w_b, wh_b, w2_b, (ca, cb, cl),
+                w1, (1 if use_h16 else W), cfg, r, s, hg1, hg2, hw0,
             )
-        else:
-            outs.append(
-                _finish_python(
-                    curve, pk, g1w_b, wh_b, w2_b, (ca, cb, cl), w1,
-                    (1 if use_h16 else W), cfg, r, s, beta,
-                )
-            )
+        return _finish_python(
+            curve, pk, g1w_b, wh_b, w2_b, (ca, cb, cl), w1,
+            (1 if use_h16 else W), cfg, r, s, beta,
+        )
+
+    if nf is not None and B > 1:
+        # the native C tail releases the GIL per call: thread the per-proof
+        # finishes (~5 ms each serial; the ctx is const after init)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(B, 8)) as ex:
+            outs = list(ex.map(finish, range(B)))
+    else:
+        outs = [finish(b) for b in range(B)]
     mark("host combine+tail x B")
     return outs
 
